@@ -1,0 +1,327 @@
+"""The flat-scan engine: HBM-resident corpus blocks + fused distance/top-k.
+
+This replaces the reference's mmap scan engine (reference:
+src/storage/flat_mmap.rs — rayon-chunked SIMD scan with per-thread top-k and
+merge, :1173/:4876). The TPU formulation: the corpus lives in HBM as one
+padded device array; a search is a chunked scan where each chunk computes a
+(B, C) distance block (MXU matmul for the dot-product family, VPU lanes
+otherwise), takes a per-chunk top-k in registers/VMEM, and the per-chunk
+winners merge with one final ``lax.top_k``. ``lax.map`` sequences the chunks
+so peak memory stays bounded while XLA pipelines HBM reads.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import MATMUL_METRICS, Metric
+from . import distance as D
+from .topk import masked_top_k, merge_top_k
+
+# Pad granularity for the corpus row dimension. Keeping it a multiple of the
+# MXU/VPU lane width keeps every chunk fully tiled.
+ROW_BLOCK = 8192
+
+# Chunk sizes for the lax.map scan: matmul metrics touch (C, D) + (B, C) per
+# step; elementwise metrics materialize (B, C, D) lanes, so they use smaller
+# chunks.
+MATMUL_CHUNK = 131072
+ELEMWISE_CHUNK = 8192
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def scan_chunk_size(metric: Metric, n_pad: int) -> int:
+    c = MATMUL_CHUNK if metric in MATMUL_METRICS else ELEMWISE_CHUNK
+    if n_pad < c:
+        return n_pad
+    # n_pad is a multiple of ROW_BLOCK; both chunk sizes are too.
+    return c
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "chunk", "ascending"))
+def flat_topk(
+    qt: dict,
+    ct: dict,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    chunk: int,
+    ascending: bool,
+):
+    """Fused chunked scan: per-chunk distances -> per-chunk top-k -> merge.
+
+    ``qt``: query transform (leaves lead with B). ``ct``: corpus transform
+    (leaves lead with N_pad, a multiple of ``chunk``). ``valid``: (N_pad,)
+    bool — rows in-range, not tombstoned, and passing any filter.
+    Returns (dists (B,k'), ids (B,k')) with k' = min(k, N_pad).
+    """
+    n_pad = valid.shape[0]
+    k_eff = min(k, n_pad)
+    n_chunks = n_pad // chunk
+
+    if n_chunks <= 1:
+        scores = D.pairwise(qt, ct, metric)
+        return masked_top_k(scores, k_eff, ascending, valid)
+
+    kc = min(k_eff, chunk)
+    ct_chunks = jax.tree.map(lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), ct)
+    valid_chunks = valid.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
+
+    def body(operand):
+        ct_c, valid_c, base = operand
+        scores = D.pairwise(qt, ct_c, metric)
+        d, i = masked_top_k(scores, kc, ascending, valid_c)
+        return d, (i + base[0]).astype(jnp.int32)
+
+    dists, ids = jax.lax.map(body, (ct_chunks, valid_chunks, bases))
+    b = dists.shape[1]
+    # (n_chunks, B, kc) -> (B, n_chunks*kc)
+    dists = jnp.moveaxis(dists, 0, 1).reshape(b, n_chunks * kc)
+    ids = jnp.moveaxis(ids, 0, 1).reshape(b, n_chunks * kc)
+    return merge_top_k(dists, ids, k_eff, ascending)
+
+
+@partial(jax.jit, static_argnames=("metric", "chunk"))
+def flat_scores(qt: dict, ct: dict, valid: jnp.ndarray, *, metric: Metric, chunk: int):
+    """Full (B, N_pad) score matrix with invalid rows as NaN — used by
+    range search and exact rescoring paths."""
+    n_pad = valid.shape[0]
+    n_chunks = max(n_pad // chunk, 1)
+    if n_chunks <= 1:
+        scores = D.pairwise(qt, ct, metric)
+        return jnp.where(valid[None, :], scores, jnp.nan)
+    ct_chunks = jax.tree.map(lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), ct)
+    valid_chunks = valid.reshape(n_chunks, chunk)
+
+    def body(operand):
+        ct_c, valid_c = operand
+        scores = D.pairwise(qt, ct_c, metric)
+        return jnp.where(valid_c[None, :], scores, jnp.nan)
+
+    out = jax.lax.map(body, (ct_chunks, valid_chunks))
+    return jnp.moveaxis(out, 0, 1).reshape(out.shape[1], n_pad)
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def rescore_rows(q: jnp.ndarray, rows: jnp.ndarray, row_valid: jnp.ndarray, *, metric: Metric):
+    """Exact distances from each query (B, D) to an explicit candidate row
+    block (B, C, D) — the rescore step behind quantized/ANN shortlists
+    (reference: src/storage/vector_store.rs:611)."""
+
+    def one(q_row, rows_b, valid_b):
+        qt = D.query_transform(q_row[None], metric)
+        ct = D.corpus_transform(rows_b, metric)
+        scores = D.pairwise(qt, ct, metric)[0]
+        return jnp.where(valid_b, scores, jnp.nan)
+
+    return jax.vmap(one)(q, rows, row_valid)
+
+
+class DeviceCorpus:
+    """HBM-resident, padded, growable corpus for one vector field.
+
+    Mirrors the role of the reference's FlatMmap (src/storage/flat_mmap.rs:89)
+    but holds rows in device HBM. Rows are appended in padded blocks of
+    ``ROW_BLOCK``; capacity grows geometrically so recompiles happen only at
+    O(log n) distinct shapes. Per-metric corpus transforms (norms, centered
+    rows, probability stats, binarized rows) are computed on-device once and
+    cached until the data mutates.
+    """
+
+    def __init__(self, dim: int, dtype: str = "float32"):
+        self.dim = int(dim)
+        self.dtype = dtype
+        self._store_dtype = jnp.float16 if dtype == "float16" else jnp.float32
+        self.n = 0
+        self.capacity = 0
+        self._data: Optional[jnp.ndarray] = None  # (cap, dim) store dtype
+        self._tombs: Optional[jnp.ndarray] = None  # (cap,) bool, True = deleted
+        self._transforms: dict[Metric, dict] = {}
+
+    # ── data management ──────────────────────────────────────────────────
+
+    def _grow(self, need: int) -> None:
+        new_cap = max(ROW_BLOCK, self.capacity)
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        pad_rows = new_cap - self.capacity
+        zeros = jnp.zeros((pad_rows, self.dim), dtype=self._store_dtype)
+        tomb_pad = jnp.zeros((pad_rows,), dtype=jnp.bool_)
+        if self._data is None:
+            self._data = zeros
+            self._tombs = tomb_pad
+        else:
+            self._data = jnp.concatenate([self._data, zeros], axis=0)
+            self._tombs = jnp.concatenate([self._tombs, tomb_pad], axis=0)
+        self.capacity = new_cap
+
+    def append(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.float32)
+        if rows.ndim != 2 or rows.shape[1] != self.dim:
+            raise ValueError(f"expected (*, {self.dim}) rows, got {rows.shape}")
+        m = rows.shape[0]
+        if m == 0:
+            return
+        self._grow(self.n + m)
+        dev_rows = jnp.asarray(rows.astype(self._store_dtype))
+        self._data = jax.lax.dynamic_update_slice(self._data, dev_rows, (self.n, 0))
+        self.n += m
+        self._transforms.clear()
+
+    def overwrite(self, row_ids: np.ndarray, rows: np.ndarray) -> None:
+        """Positional overwrite (upsert path)."""
+        rows = np.asarray(rows, dtype=np.float32)
+        dev_rows = jnp.asarray(rows.astype(self._store_dtype))
+        idx = jnp.asarray(np.asarray(row_ids, dtype=np.int32))
+        self._data = self._data.at[idx].set(dev_rows)
+        self._transforms.clear()
+
+    def set_tombstones(self, tombs: np.ndarray) -> None:
+        """Replace the tombstone mask from the host bitset (first n rows)."""
+        full = np.zeros(self.capacity, dtype=bool)
+        m = min(len(tombs), self.capacity)
+        full[:m] = tombs[:m]
+        self._tombs = jnp.asarray(full)
+
+    def reset(self) -> None:
+        self.n = 0
+        self.capacity = 0
+        self._data = None
+        self._tombs = None
+        self._transforms.clear()
+
+    # ── derived state ────────────────────────────────────────────────────
+
+    @property
+    def n_pad(self) -> int:
+        if self.capacity == 0:
+            return 0
+        # Scan over the occupied prefix only, padded to ROW_BLOCK.
+        return min(self.capacity, _round_up(max(self.n, 1), ROW_BLOCK))
+
+    def transform(self, metric: Metric) -> dict:
+        ct = self._transforms.get(metric)
+        need = self.n_pad
+        if ct is None or next(iter(jax.tree.leaves(ct))).shape[0] != need:
+            data = self._data[:need].astype(jnp.float32)
+            ct = jax.jit(D.corpus_transform, static_argnames=("metric",))(data, metric)
+            self._transforms[metric] = ct
+        return ct
+
+    def valid_mask(self, filter_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+        n_pad = self.n_pad
+        base = jnp.arange(n_pad, dtype=jnp.int32) < self.n
+        base = base & ~self._tombs[:n_pad]
+        if filter_mask is not None:
+            fm = np.zeros(n_pad, dtype=bool)
+            m = min(len(filter_mask), n_pad)
+            fm[:m] = filter_mask[:m]
+            base = base & jnp.asarray(fm)
+        return base
+
+    def rows(self, row_ids: np.ndarray) -> jnp.ndarray:
+        idx = jnp.asarray(np.asarray(row_ids, dtype=np.int32))
+        return self._data[idx].astype(jnp.float32)
+
+    # ── search entry points ──────────────────────────────────────────────
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metric: Metric,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Top-k scan. Returns host numpy (dists (B,k'), row_ids (B,k'),
+        valid_count_mask) with invalid entries marked by oriented -inf."""
+        if self.n == 0:
+            b = np.atleast_2d(np.asarray(queries)).shape[0]
+            return (
+                np.zeros((b, 0), dtype=np.float32),
+                np.zeros((b, 0), dtype=np.int64),
+            )
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
+        ct = self.transform(metric)
+        valid = self.valid_mask(filter_mask)
+        chunk = scan_chunk_size(metric, self.n_pad)
+        dists, ids = flat_topk(
+            qt, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
+        )
+        dists = np.asarray(dists)
+        ids = np.asarray(ids, dtype=np.int64)
+        # Trim rows that came back invalid (oriented key == -inf).
+        keyed = -dists if metric.ascending else dists
+        keep = keyed > -np.inf
+        return _trim_results(dists, ids, keep, k)
+
+    def range_search(
+        self,
+        query: np.ndarray,
+        threshold: float,
+        metric: Metric,
+        max_results: int = 1000,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """All rows within ``threshold`` (<= for ascending metrics, >= for
+        IP), sorted best-first, capped at max_results
+        (reference: engine.rs:6410 search_range)."""
+        if self.n == 0:
+            return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.int64)
+        q = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(1, -1))
+        qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
+        ct = self.transform(metric)
+        valid = self.valid_mask(filter_mask)
+        chunk = scan_chunk_size(metric, self.n_pad)
+        scores = np.asarray(flat_scores(qt, ct, valid, metric=metric, chunk=chunk))[0]
+        ok = ~np.isnan(scores)
+        if metric.ascending:
+            ok &= scores <= threshold
+        else:
+            ok &= scores >= threshold
+        idx = np.nonzero(ok)[0]
+        vals = scores[idx]
+        order = np.argsort(vals, kind="stable")
+        if not metric.ascending:
+            order = order[::-1]
+        order = order[:max_results]
+        return vals[order].astype(np.float32), idx[order].astype(np.int64)
+
+    def rescore(self, queries: np.ndarray, cand_ids: np.ndarray, metric: Metric):
+        """Exact (B, C) distances for explicit candidate rows."""
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        ids = np.asarray(cand_ids)
+        if ids.ndim == 1:
+            ids = np.broadcast_to(ids, (q.shape[0], ids.shape[0]))
+        rows = self._data[jnp.asarray(ids.astype(np.int32))].astype(jnp.float32)
+        valid = jnp.asarray(ids >= 0)
+        safe_rows = rows * valid[..., None]
+        out = rescore_rows(q, safe_rows, valid, metric=metric)
+        return np.asarray(out)
+
+
+def _trim_results(dists: np.ndarray, ids: np.ndarray, keep: np.ndarray, k: int):
+    """Compact each row's surviving entries (order-preserving)."""
+    b = dists.shape[0]
+    counts = keep.sum(axis=1)
+    width = int(counts.max(initial=0))
+    out_d = np.zeros((b, width), dtype=np.float32)
+    out_i = np.full((b, width), -1, dtype=np.int64)
+    for r in range(b):
+        m = keep[r]
+        c = int(counts[r])
+        out_d[r, :c] = dists[r, m]
+        out_i[r, :c] = ids[r, m]
+    return out_d, out_i

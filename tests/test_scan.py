@@ -1,0 +1,153 @@
+"""Tests for the fused flat-scan engine (DeviceCorpus + chunked top-k)."""
+
+import numpy as np
+import pytest
+
+from lynsedb_tpu.metrics import Metric
+from lynsedb_tpu.ops.scan import DeviceCorpus, flat_topk, scan_chunk_size
+from lynsedb_tpu.ops import distance as D
+
+import jax.numpy as jnp
+
+
+def _brute_topk(q, x, metric, k, valid=None):
+    scores = np.asarray(D.pairwise_distances(jnp.asarray(q), jnp.asarray(x), metric))
+    if valid is not None:
+        scores = np.where(valid[None, :], scores, np.inf if metric.ascending else -np.inf)
+    order = np.argsort(scores, axis=1, kind="stable")
+    if not metric.ascending:
+        order = order[:, ::-1]
+    return order[:, :k]
+
+
+@pytest.mark.parametrize("metric", [Metric.IP, Metric.L2, Metric.COSINE, Metric.L1])
+def test_device_corpus_topk_matches_brute(metric, rng):
+    n, d, k = 1000, 32, 7
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    dists, ids = corpus.search(q, k, metric)
+    want = _brute_topk(q, x, metric, k)
+    np.testing.assert_array_equal(ids, want)
+
+
+def test_append_in_batches_equals_bulk(rng):
+    d = 16
+    x = rng.normal(size=(500, d)).astype(np.float32)
+    c1 = DeviceCorpus(d)
+    c1.append(x)
+    c2 = DeviceCorpus(d)
+    for i in range(0, 500, 77):
+        c2.append(x[i : i + 77])
+    q = rng.normal(size=(1, d)).astype(np.float32)
+    d1, i1 = c1.search(q, 5, Metric.L2)
+    d2, i2 = c2.search(q, 5, Metric.L2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_tombstones_excluded(rng):
+    d = 8
+    x = rng.normal(size=(50, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    q = x[7:8]
+    _, ids = corpus.search(q, 1, Metric.L2)
+    assert ids[0, 0] == 7
+    tombs = np.zeros(50, dtype=bool)
+    tombs[7] = True
+    corpus.set_tombstones(tombs)
+    _, ids = corpus.search(q, 1, Metric.L2)
+    assert ids[0, 0] != 7
+
+
+def test_filter_mask(rng):
+    d = 8
+    x = rng.normal(size=(100, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    mask = np.zeros(100, dtype=bool)
+    mask[10:20] = True
+    q = rng.normal(size=(1, d)).astype(np.float32)
+    _, ids = corpus.search(q, 100, Metric.L2, filter_mask=mask)
+    assert set(ids[0].tolist()) == set(range(10, 20))
+
+
+def test_k_larger_than_n(rng):
+    d = 8
+    x = rng.normal(size=(5, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    q = rng.normal(size=(1, d)).astype(np.float32)
+    dists, ids = corpus.search(q, 50, Metric.IP)
+    assert ids.shape[1] == 5
+    assert sorted(ids[0].tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_chunked_scan_matches_single_shot(rng):
+    # Force the multi-chunk path by using a small chunk size directly.
+    n, d, k = 4096, 16, 9
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    qt = D.query_transform(jnp.asarray(q), Metric.L2)
+    ct = D.corpus_transform(jnp.asarray(x), Metric.L2)
+    valid = jnp.ones(n, dtype=bool)
+    d_multi, i_multi = flat_topk(qt, ct, valid, metric=Metric.L2, k=k, chunk=512, ascending=True)
+    d_one, i_one = flat_topk(qt, ct, valid, metric=Metric.L2, k=k, chunk=n, ascending=True)
+    np.testing.assert_array_equal(np.asarray(i_multi), np.asarray(i_one))
+    np.testing.assert_allclose(np.asarray(d_multi), np.asarray(d_one), rtol=1e-6)
+
+
+def test_range_search(rng):
+    d = 8
+    x = rng.normal(size=(200, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    q = x[0]
+    dists, ids = corpus.range_search(q, threshold=5.0, metric=Metric.L2, max_results=1000)
+    scores = np.sum((x - q) ** 2, axis=1)
+    want = set(np.nonzero(scores <= 5.0)[0].tolist())
+    assert set(ids.tolist()) == want
+    assert np.all(np.diff(dists) >= 0)
+
+
+def test_upsert_overwrite(rng):
+    d = 8
+    x = rng.normal(size=(20, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    new_row = rng.normal(size=(1, d)).astype(np.float32) * 100
+    corpus.overwrite(np.array([3]), new_row)
+    _, ids = corpus.search(new_row, 1, Metric.L2)
+    assert ids[0, 0] == 3
+
+
+def test_rescore(rng):
+    d = 8
+    x = rng.normal(size=(30, d)).astype(np.float32)
+    corpus = DeviceCorpus(d)
+    corpus.append(x)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    cand = np.array([[0, 3, 5], [1, 2, 4]])
+    out = corpus.rescore(q, cand, Metric.L2)
+    for b in range(2):
+        for j, rid in enumerate(cand[b]):
+            want = np.sum((q[b] - x[rid]) ** 2)
+            np.testing.assert_allclose(out[b, j], want, rtol=1e-5)
+
+
+def test_f16_storage(rng):
+    d = 8
+    x = rng.normal(size=(40, d)).astype(np.float32)
+    corpus = DeviceCorpus(d, dtype="float16")
+    corpus.append(x)
+    q = x[5:6]
+    _, ids = corpus.search(q, 1, Metric.L2)
+    assert ids[0, 0] == 5
+
+
+def test_scan_chunk_size():
+    assert scan_chunk_size(Metric.IP, 8192) == 8192
+    assert scan_chunk_size(Metric.IP, 1 << 20) == 131072
+    assert scan_chunk_size(Metric.L1, 1 << 20) == 8192

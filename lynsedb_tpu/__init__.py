@@ -1,0 +1,120 @@
+"""lynsedb_tpu — TPU-native vector database framework.
+
+One client API across three deployment shapes (embedded, HTTP service,
+coordinator cluster), mirroring the reference's public surface
+(reference: python/lynse/__init__.py:12 VectorDBClient) with the search and
+indexing core rebuilt as a JAX/XLA/Pallas engine.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Union
+
+__version__ = "0.1.0"
+
+from .metrics import Metric  # noqa: F401
+from .result_view import ResultView  # noqa: F401
+
+MAX_DATABASES = 64
+
+
+class VectorDBClient:
+    """Entry-point client.
+
+    - local path / None: embedded engine, data under the given root path.
+    - http(s):// URL: connects to a running HTTP server.
+    """
+
+    def __init__(
+        self,
+        uri: Union[str, None, Path] = None,
+        api_key: str = None,
+        read_only: bool = False,
+    ):
+        if isinstance(uri, Path):
+            uri = uri.as_posix()
+        self._is_remote = isinstance(uri, str) and (
+            uri.startswith("http://") or uri.startswith("https://")
+        )
+        self._api_key = api_key
+
+        if self._is_remote:
+            from .api.http_client import RemoteSession
+
+            session = RemoteSession(base_url=uri, api_key=api_key)
+            resp = session.get("/list_databases")
+            if resp.status_code == 401:
+                session.close()
+                raise ConnectionError("Authentication failed: invalid api_key.")
+            if resp.status_code != 200:
+                session.close()
+                raise ConnectionError(f"Failed to connect to the server at {uri}.")
+            self._uri = uri
+            self._root_path = None
+            self._manager = None
+            self._session = session
+        else:
+            from .configs.config import config
+            from .engine.database import DatabaseManager
+
+            root_path = (
+                str(Path(uri).resolve()) if uri is not None else str(config.LYNSE_DEFAULT_ROOT_PATH)
+            )
+            self._uri = None
+            self._root_path = root_path
+            self._session = None
+            self._manager = DatabaseManager(root_path, read_only=read_only)
+
+    # ── databases ────────────────────────────────────────────────────────
+
+    def create_database(self, database_name: str, drop_if_exists: bool = False):
+        if self._is_remote:
+            self._session.post(
+                "/create_database",
+                json={"database_name": database_name, "drop_if_exists": drop_if_exists},
+            ).raise_for_error()
+            from .api.http_client import HTTPClient
+
+            return HTTPClient(self._session, database_name)
+        self._manager.create_database(database_name, drop_if_exists=drop_if_exists)
+        from .api.local_client import LocalClient
+
+        return LocalClient(self._manager, database_name)
+
+    def get_database(self, database_name: str):
+        if self._is_remote:
+            from .api.http_client import HTTPClient
+
+            return HTTPClient(self._session, database_name)
+        self._manager.get_database(database_name)
+        from .api.local_client import LocalClient
+
+        return LocalClient(self._manager, database_name)
+
+    def list_databases(self) -> list:
+        if self._is_remote:
+            return self._session.get("/list_databases").json()["databases"]
+        return self._manager.list_databases()
+
+    def drop_database(self, database_name: str) -> None:
+        if self._is_remote:
+            self._session.post("/drop_database", json={"database_name": database_name}).raise_for_error()
+            return
+        self._manager.drop_database(database_name)
+
+    def database_exists(self, database_name: str) -> bool:
+        if self._is_remote:
+            return database_name in self.list_databases()
+        return self._manager.database_exists(database_name)
+
+    def close(self) -> None:
+        if self._is_remote:
+            self._session.close()
+        elif self._manager is not None:
+            self._manager.close()
+            self._manager = None
+
+    def __repr__(self):
+        target = self._uri if self._is_remote else self._root_path
+        return f"VectorDBClient({target!r})"

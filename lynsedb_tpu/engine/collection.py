@@ -1,0 +1,878 @@
+"""Collection: the central orchestrator.
+
+One Collection owns vectors + metadata + WAL + tombstones + ID maps + the
+device-resident scan corpus, mirroring the reference's Collection
+(reference: src/engine.rs:118-155) with the compute plane moved to TPU:
+
+  * adds buffer in RAM + WAL and flush to segment storage at thresholds
+    (reference pending-ingest: engine.rs:165-247, 10k rows / 32 MB)
+  * search = where-mask (host, columnar) fused into the device scan
+    (reference: engine.rs:4697/4718 dispatch)
+  * commit/checkpoint/flush mirror the layered durability contract
+    (engine.rs:4425-4485); crash recovery replays the WAL past the durable
+    manifest boundary (engine.rs:1760-1785)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+
+from ..metrics import Metric
+from ..ops.scan import DeviceCorpus
+from ..storage.bitset import BitSet
+from ..storage.field_store import FieldStore
+from ..storage.idmap import IdMap, normalize_external_id
+from ..storage.vector_store import VectorStore, write_atomic
+from ..storage.wal import (
+    KIND_ADD,
+    KIND_DELETE,
+    KIND_FIELD_UPDATE,
+    KIND_RESTORE,
+    KIND_UPSERT,
+    WALStorage,
+)
+from .errors import DimensionMismatch, InvalidArgument, LynseError, ReadOnly
+
+PENDING_FLUSH_ROWS = 10_000
+PENDING_FLUSH_BYTES = 32 * 1024 * 1024
+
+# ANN + filter policy: prefer the exact filtered scan when the subset is
+# small in absolute and relative terms (reference: engine.rs:95-102).
+EXACT_FILTER_MAX_ROWS = 100_000
+
+
+def should_use_exact_filtered_search(subset: int, total: int) -> bool:
+    return subset <= EXACT_FILTER_MAX_ROWS and subset * 4 <= total
+
+
+@dataclass
+class SearchResult:
+    ids: np.ndarray  # internal row ids
+    distances: np.ndarray
+    distance_metric: str
+    index_type: str
+    profile: Optional[dict] = None
+
+
+@dataclass
+class QueryProfile:
+    """Per-query explain (reference: engine.rs:6906-6920)."""
+
+    index_path: str = "flat"
+    filter_matches: int = 0
+    scanned_vectors: int = 0
+    filter_us: int = 0
+    search_us: int = 0
+    rerank_us: int = 0
+    total_us: int = 0
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class Collection:
+    def __init__(
+        self,
+        root: str | Path,
+        name: str,
+        dim: Optional[int] = None,
+        dtype: str = "float32",
+        description: Optional[str] = None,
+        read_only: bool = False,
+    ):
+        self.root = Path(root)
+        self.name = name
+        self.read_only = read_only
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.RLock()
+
+        self.config_path = self.root / "collection.json"
+        cfg = {}
+        if self.config_path.exists():
+            cfg = json.loads(self.config_path.read_text())
+        self.dim: Optional[int] = cfg.get("dim", dim)
+        if dim is not None and cfg.get("dim") is not None and cfg["dim"] != dim:
+            raise DimensionMismatch(f"collection has dim {cfg['dim']}, requested {dim}")
+        self.dtype = cfg.get("dtype", dtype)
+        self.description = description if description is not None else cfg.get("description")
+        self.index_mode: Optional[str] = cfg.get("index_mode")
+
+        self.store = VectorStore(self.root / "vectors", self.dim, self.dtype)
+        if self.dim is None and self.store.dim is not None:
+            self.dim = self.store.dim
+        self.fields = FieldStore(self.root / "fields")
+        self.idmap = IdMap(self.root / "idmap")
+        self.wal = WALStorage(self.root / "wal", self.dim or 0, self.dtype)
+
+        tomb_path = self.root / "tombstones.bin"
+        self.tombstones = (
+            BitSet.from_bytes(tomb_path.read_bytes()) if tomb_path.exists() else BitSet()
+        )
+
+        # pending rows: appended to WAL, not yet in VectorStore
+        self._pending: list[np.ndarray] = []
+        self._pending_rows = 0
+        self._pending_bytes = 0
+
+        # device mirror
+        self._corpus: Optional[DeviceCorpus] = None
+        self._device_rows = 0
+        self._tombs_dirty = True
+
+        # secondary indexes (IVF/SPANN/HNSW/DiskANN/PQ/... ) — set by build_index
+        self._index = None
+        self._aux_index = None
+
+        # optional subsystems, attached lazily
+        self._sparse = None
+        self._text = None
+        self._named_fields: dict[str, "Collection"] = {}
+
+        self._recover()
+        self._write_config()
+        self._load_index()
+        self._load_named_fields()
+
+    # ── config / recovery ────────────────────────────────────────────────
+
+    def _write_config(self) -> None:
+        if self.read_only:
+            return
+        write_atomic(
+            self.config_path,
+            json.dumps(
+                {
+                    "dim": self.dim,
+                    "dtype": self.dtype,
+                    "description": self.description,
+                    "index_mode": self.index_mode,
+                    "named_fields": sorted(self._named_fields.keys()) if hasattr(self, "_named_fields") else [],
+                }
+            ).encode(),
+        )
+
+    def _recover(self) -> None:
+        """WAL replay past the durable manifest boundary
+        (reference: engine.rs:1760-1785, recover_wal :2391)."""
+        durable = self.store.row_count
+        recovered = 0
+        for kind, payload in self.wal.replay():
+            if kind == KIND_ADD:
+                iids = payload["iids"]
+                dim = payload["dim"]
+                vecs = np.frombuffer(payload["vec"], dtype=np.float32).reshape(-1, dim)
+                new = [i for i, iid in enumerate(iids) if iid >= durable + self._pending_rows]
+                if new:
+                    rows = vecs[new]
+                    self._pending.append(rows)
+                    self._pending_rows += len(new)
+                    self._pending_bytes += rows.nbytes
+                    recovered += len(new)
+                # fields + idmap have their own logs; re-apply is idempotent
+                for i, iid in enumerate(iids):
+                    if payload.get("fields") is not None:
+                        self.fields.store_at(iid, payload["fields"][i])
+                    if payload.get("eids") is not None:
+                        self.idmap.insert(payload["eids"][i], iid)
+            elif kind == KIND_UPSERT:
+                iids = payload["iids"]
+                dim = payload["dim"]
+                vecs = np.frombuffer(payload["vec"], dtype=np.float32).reshape(-1, dim)
+                for i, iid in enumerate(iids):
+                    self._write_row(iid, vecs[i], durable_boundary=durable)
+                    if payload.get("fields") is not None and payload["fields"][i] is not None:
+                        self.fields.store_at(iid, payload["fields"][i])
+            elif kind == KIND_DELETE:
+                for iid in payload["iids"]:
+                    self.tombstones.set(iid, True)
+            elif kind == KIND_RESTORE:
+                for iid in payload["iids"]:
+                    self.tombstones.set(iid, False)
+            elif kind == KIND_FIELD_UPDATE:
+                for iid, f in zip(payload["iids"], payload["fields"]):
+                    self.fields.update_at(iid, f)
+        total = self.n_rows
+        self.fields.truncate_at_or_above(total)
+        self.idmap.truncate_internal_at_or_above(total)
+        if recovered and not self.read_only:
+            # make recovered rows durable immediately
+            self._flush_pending()
+            self.checkpoint()
+
+    def _load_index(self) -> None:
+        from ..index import load_index
+
+        self._index, self._aux_index = load_index(self)
+
+    def _load_named_fields(self) -> None:
+        nf_dir = self.root / "named_fields"
+        if nf_dir.exists():
+            for child in sorted(nf_dir.iterdir()):
+                if child.is_dir():
+                    self._named_fields[child.name] = Collection(
+                        child, f"{self.name}.{child.name}", read_only=self.read_only
+                    )
+
+    # ── basic state ──────────────────────────────────────────────────────
+
+    @property
+    def n_rows(self) -> int:
+        return self.store.row_count + self._pending_rows
+
+    def shape(self) -> tuple[int, int]:
+        return (self.n_rows, self.dim or 0)
+
+    def max_id(self) -> int:
+        return self.idmap.max_int_id()
+
+    def is_id_exists(self, eid) -> bool:
+        return eid in self.idmap
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise ReadOnly("collection is read-only")
+
+    def _ensure_dim(self, vectors: np.ndarray) -> None:
+        if vectors.ndim != 2:
+            raise InvalidArgument("vectors must be 2D")
+        if self.dim is None:
+            self.dim = int(vectors.shape[1])
+            self.store.set_dim(self.dim)
+            self._write_config()
+        elif vectors.shape[1] != self.dim:
+            raise DimensionMismatch(
+                f"expected dim {self.dim}, got {vectors.shape[1]}"
+            )
+
+    # ── write path ───────────────────────────────────────────────────────
+
+    def add_records(self, vectors, external_ids, fields=None) -> list:
+        """Add rows with explicit external string/int IDs
+        (reference: engine.rs:3953 add_records)."""
+        with self._lock:
+            self._check_writable()
+            vectors = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
+            self._ensure_dim(vectors)
+            n = vectors.shape[0]
+            if len(external_ids) != n:
+                raise InvalidArgument("ids length must match vectors")
+            eids = [normalize_external_id(e) for e in external_ids]
+            if len(set(eids)) != len(eids):
+                raise InvalidArgument("duplicate external ids in batch")
+            for e in eids:
+                if e in self.idmap:
+                    raise InvalidArgument(f"external id already exists: {e!r}")
+            if fields is not None and len(fields) != n:
+                raise InvalidArgument("fields length must match vectors")
+
+            start = self.n_rows
+            iids = list(range(start, start + n))
+            self.wal.log_add(iids, vectors, eids, fields)
+            field_list = fields if fields is not None else [None] * n
+            self.fields.batch_store_at(iids, field_list)
+            for e, i in zip(eids, iids):
+                self.idmap.insert(e, i)
+            self._pending.append(vectors)
+            self._pending_rows += n
+            self._pending_bytes += vectors.nbytes
+            self._maybe_flush_pending()
+            return eids
+
+    def add_items(self, vectors, ids, fields=None) -> list:
+        """Integer-ID add used by the auto-ID path."""
+        return self.add_records(vectors, list(ids), fields)
+
+    def _maybe_flush_pending(self) -> None:
+        if self._pending_rows >= PENDING_FLUSH_ROWS or self._pending_bytes >= PENDING_FLUSH_BYTES:
+            self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        rows = np.concatenate(self._pending, axis=0)
+        self.store.append(rows)
+        self._pending = []
+        self._pending_rows = 0
+        self._pending_bytes = 0
+
+    def _write_row(self, iid: int, row: np.ndarray, durable_boundary: Optional[int] = None) -> None:
+        """Positional overwrite across durable storage and pending buffer."""
+        boundary = self.store.row_count if durable_boundary is None else durable_boundary
+        if iid < boundary:
+            self.store.overwrite_rows(np.array([iid]), row[None, :])
+        else:
+            off = iid - boundary
+            for chunk in self._pending:
+                if off < len(chunk):
+                    chunk[off] = row
+                    return
+                off -= len(chunk)
+            # row beyond any pending chunk: ignore (stale WAL entry)
+        if self._corpus is not None and iid < self._device_rows:
+            self._corpus.overwrite(np.array([iid]), row[None, :])
+
+    def upsert_items(self, vectors, external_ids, fields=None) -> list:
+        """Overwrite-or-insert by external ID (reference: engine.rs:5949)."""
+        with self._lock:
+            self._check_writable()
+            vectors = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
+            self._ensure_dim(vectors)
+            n = vectors.shape[0]
+            eids = [normalize_external_id(e) for e in external_ids]
+            field_list = fields if fields is not None else [None] * n
+
+            new_rows, new_eids, new_fields = [], [], []
+            up_iids, up_rows, up_fields = [], [], []
+            for i, e in enumerate(eids):
+                iid = self.idmap.get_internal(e)
+                if iid is None:
+                    new_rows.append(vectors[i])
+                    new_eids.append(e)
+                    new_fields.append(field_list[i])
+                else:
+                    up_iids.append(iid)
+                    up_rows.append(vectors[i])
+                    up_fields.append(field_list[i])
+            if up_iids:
+                up_arr = np.stack(up_rows)
+                self.wal.log_upsert(up_iids, up_arr, up_fields)
+                for iid, row, f in zip(up_iids, up_rows, up_fields):
+                    self._write_row(iid, row)
+                    if f is not None:
+                        self.fields.store_at(iid, f)
+                    self.tombstones.set(iid, False)
+                self._tombs_dirty = True
+            if new_eids:
+                self.add_records(np.stack(new_rows), new_eids, new_fields)
+            return eids
+
+    def update_items(self, external_ids, fields) -> int:
+        """Update metadata fields only (reference: engine.rs:6072)."""
+        with self._lock:
+            self._check_writable()
+            iids, flist = [], []
+            for e, f in zip(external_ids, fields):
+                iid = self.idmap.get_internal(e)
+                if iid is None:
+                    raise InvalidArgument(f"id not found: {e!r}")
+                iids.append(iid)
+                flist.append(f)
+            self.wal.append(KIND_FIELD_UPDATE, {"iids": iids, "fields": flist})
+            for iid, f in zip(iids, flist):
+                self.fields.update_at(iid, f)
+            return len(iids)
+
+    def delete_items(self, external_ids) -> int:
+        with self._lock:
+            self._check_writable()
+            iids = []
+            for e in external_ids:
+                iid = self.idmap.get_internal(e)
+                if iid is not None and not self.tombstones.get(iid):
+                    iids.append(iid)
+            if iids:
+                self.wal.append(KIND_DELETE, {"iids": iids})
+                for iid in iids:
+                    self.tombstones.set(iid, True)
+                self._tombs_dirty = True
+            return len(iids)
+
+    def restore_items(self, external_ids) -> int:
+        with self._lock:
+            self._check_writable()
+            iids = []
+            for e in external_ids:
+                iid = self.idmap.get_internal(e)
+                if iid is not None and self.tombstones.get(iid):
+                    iids.append(iid)
+            if iids:
+                self.wal.append(KIND_RESTORE, {"iids": iids})
+                for iid in iids:
+                    self.tombstones.set(iid, False)
+                self._tombs_dirty = True
+            return len(iids)
+
+    def list_deleted_ids(self) -> list:
+        out = []
+        for iid in self.tombstones.iter_set_bits():
+            eid = self.idmap.get_external(int(iid))
+            if eid is not None:
+                out.append(eid)
+        return out
+
+    # ── durability ───────────────────────────────────────────────────────
+
+    def commit(self) -> None:
+        """Fast logical durability boundary (reference: engine.rs:4485)."""
+        with self._lock:
+            self._check_writable()
+            self._flush_pending()
+            self.store.checkpoint(fsync=False)
+            self._save_tombstones()
+            self.wal.cleanup()
+            if self._index is not None:
+                self._index.on_commit(self)
+
+    def checkpoint(self) -> None:
+        """Fsync'd durable barrier + log compaction (engine.rs:4435)."""
+        with self._lock:
+            self._check_writable()
+            self._flush_pending()
+            self.store.checkpoint(fsync=True)
+            self.fields.checkpoint()
+            self.idmap.checkpoint()
+            self._save_tombstones()
+            self.wal.cleanup()
+            if self._index is not None:
+                self._index.on_commit(self)
+
+    def flush(self) -> None:
+        with self._lock:
+            self._check_writable()
+            self._flush_pending()
+            self.wal.sync()
+
+    def close(self) -> None:
+        with self._lock:
+            if not self.read_only:
+                if self._pending:
+                    self._flush_pending()
+                    self.store.checkpoint(fsync=True)
+                    self.wal.cleanup()
+                self._save_tombstones()
+            self.wal.close()
+            self.fields.close()
+            self.idmap.close()
+            for nf in self._named_fields.values():
+                nf.close()
+
+    def _save_tombstones(self) -> None:
+        write_atomic(self.root / "tombstones.bin", self.tombstones.to_bytes())
+        self._tombs_dirty = True
+
+    # ── device mirror ────────────────────────────────────────────────────
+
+    def corpus(self) -> DeviceCorpus:
+        with self._lock:
+            if self.dim is None:
+                raise LynseError("collection has no vectors yet")
+            if self._corpus is None:
+                self._corpus = DeviceCorpus(self.dim, self.dtype)
+                self._device_rows = 0
+            total = self.n_rows
+            if self._device_rows < total:
+                durable = self.store.row_count
+                if self._device_rows < durable:
+                    self._corpus.append(self.store.read_rows(self._device_rows, durable - self._device_rows))
+                    self._device_rows = durable
+                if self._pending:
+                    offset = self._device_rows - durable
+                    rows = np.concatenate(self._pending, axis=0)[offset:]
+                    if len(rows):
+                        self._corpus.append(rows)
+                        self._device_rows = total
+            if self._tombs_dirty:
+                self._corpus.set_tombstones(self.tombstones.to_bool_array(total))
+                self._tombs_dirty = False
+            return self._corpus
+
+    def _reset_device(self) -> None:
+        self._corpus = None
+        self._device_rows = 0
+        self._tombs_dirty = True
+
+    # ── search ───────────────────────────────────────────────────────────
+
+    @property
+    def metric(self) -> Metric:
+        mode = self.index_mode or "FLAT-IP"
+        m = Metric.from_index_mode(mode)
+        return m if m is not None else Metric.IP
+
+    @property
+    def index_type(self) -> str:
+        mode = self.index_mode or "FLAT-IP"
+        family = mode.split("-")[0]
+        return {
+            "FLAT": "Flat",
+            "IVF": "IVF",
+            "SPANN": "SPANN",
+            "HNSW": "HNSW",
+            "DISKANN": "DiskANN",
+        }.get(family, family)
+
+    def resolve_filter(self, where: Optional[str], filter_ids=None) -> Optional[np.ndarray]:
+        """where string + optional external-ID allowlist -> row mask
+        (reference: engine.rs:3097 resolve_where_subset)."""
+        n = self.n_rows
+        mask = None
+        if where:
+            m = self.fields.query_mask(where)
+            if len(m) < n:
+                m = np.concatenate([m, np.zeros(n - len(m), dtype=bool)])
+            mask = m[:n]
+        if filter_ids is not None:
+            m2 = np.zeros(n, dtype=bool)
+            for e in filter_ids:
+                iid = self.idmap.get_internal(e)
+                if iid is not None and iid < n:
+                    m2[iid] = True
+            mask = m2 if mask is None else (mask & m2)
+        return mask
+
+    def search(
+        self,
+        vector,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        filter_ids=None,
+        field_name: str = "default",
+        nprobe: int = 10,
+        approx: bool = False,
+        eps: float = 1e-4,
+        profile: bool = False,
+    ) -> SearchResult:
+        res = self.batch_search(
+            np.atleast_2d(np.asarray(vector, dtype=np.float32)),
+            k,
+            where=where,
+            filter_ids=filter_ids,
+            field_name=field_name,
+            nprobe=nprobe,
+            approx=approx,
+            eps=eps,
+            profile=profile,
+        )
+        return SearchResult(
+            ids=res.ids[0],
+            distances=res.distances[0],
+            distance_metric=res.distance_metric,
+            index_type=res.index_type,
+            profile=res.profile,
+        )
+
+    def batch_search(
+        self,
+        vectors,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        filter_ids=None,
+        field_name: str = "default",
+        nprobe: int = 10,
+        approx: bool = False,
+        eps: float = 1e-4,
+        profile: bool = False,
+    ) -> SearchResult:
+        if field_name != "default":
+            sub = self._named_fields.get(field_name)
+            if sub is None:
+                raise InvalidArgument(f"unknown vector field: {field_name!r}")
+            return sub.batch_search(
+                vectors, k, where=where, filter_ids=filter_ids, nprobe=nprobe,
+                approx=approx, eps=eps, profile=profile,
+            )
+        with self._lock:
+            t0 = time.perf_counter()
+            q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
+            if self.dim is not None and q.shape[1] != self.dim:
+                raise DimensionMismatch(f"query dim {q.shape[1]} != collection dim {self.dim}")
+            metric = self.metric
+            if not metric.accepts_dimension(q.shape[1]):
+                raise InvalidArgument(f"metric {metric.value} rejects dim {q.shape[1]}")
+            if self.n_rows == 0:
+                empty = np.zeros((len(q), 0))
+                return SearchResult(
+                    ids=empty.astype(np.int64),
+                    distances=empty.astype(np.float32),
+                    distance_metric=metric.display_name,
+                    index_type=self.index_type,
+                )
+
+            mask = self.resolve_filter(where, filter_ids)
+            t1 = time.perf_counter()
+            corpus = self.corpus()
+            index_path = "flat"
+            subset = int(mask.sum()) if mask is not None else self.n_rows
+
+            if self._index is not None and (
+                mask is None or not should_use_exact_filtered_search(subset, self.n_rows)
+            ):
+                dists, ids = self._index.search(self, q, k, mask=mask, nprobe=nprobe)
+                index_path = self._index.kind
+            elif self._aux_index is not None and mask is None:
+                dists, ids = self._aux_index.search(self, q, k, nprobe=nprobe)
+                index_path = self._aux_index.kind
+            else:
+                dists, ids = corpus.search(q, k, metric, filter_mask=mask)
+            t2 = time.perf_counter()
+
+            prof = None
+            if profile:
+                prof = QueryProfile(
+                    index_path=index_path,
+                    filter_matches=subset if mask is not None else self.n_rows,
+                    scanned_vectors=subset if mask is not None else self.n_rows,
+                    filter_us=int((t1 - t0) * 1e6),
+                    search_us=int((t2 - t1) * 1e6),
+                    total_us=int((t2 - t0) * 1e6),
+                ).to_dict()
+            return SearchResult(
+                ids=ids,
+                distances=dists,
+                distance_metric=metric.display_name,
+                index_type=self.index_type,
+                profile=prof,
+            )
+
+    def search_range(self, vector, threshold: float, max_results: int = 1000, where=None):
+        with self._lock:
+            q = np.asarray(vector, dtype=np.float32).reshape(-1)
+            mask = self.resolve_filter(where)
+            corpus = self.corpus()
+            dists, ids = corpus.range_search(q, threshold, self.metric, max_results, filter_mask=mask)
+            return SearchResult(
+                ids=ids,
+                distances=dists,
+                distance_metric=self.metric.display_name,
+                index_type=self.index_type,
+            )
+
+    # ── data retrieval ───────────────────────────────────────────────────
+
+    def internal_to_external(self, iids: np.ndarray) -> list:
+        return [self.idmap.get_external(int(i)) for i in iids]
+
+    def external_to_internal(self, eids) -> list:
+        return [self.idmap.get_internal(e) for e in eids]
+
+    def row_vector(self, iid: int) -> np.ndarray:
+        durable = self.store.row_count
+        if iid < durable:
+            return self.store.row(iid)
+        off = iid - durable
+        for chunk in self._pending:
+            if off < len(chunk):
+                return np.array(chunk[off])
+            off -= len(chunk)
+        raise InvalidArgument(f"row {iid} out of range")
+
+    def query(self, where=None, filter_ids=None, limit: Optional[int] = None):
+        """Metadata query: internal row ids passing the filter, live only."""
+        with self._lock:
+            n = self.n_rows
+            mask = self.resolve_filter(where, filter_ids)
+            if mask is None:
+                mask = np.ones(n, dtype=bool)
+            tombs = self.tombstones.to_bool_array(n)
+            mask &= ~tombs
+            ids = np.nonzero(mask)[0]
+            if limit is not None:
+                ids = ids[:limit]
+            return ids
+
+    def head_ids(self, n: int = 5) -> np.ndarray:
+        return self.query()[:n]
+
+    def tail_ids(self, n: int = 5) -> np.ndarray:
+        ids = self.query()
+        return ids[-n:] if len(ids) else ids
+
+    def get_vectors(self, iids: np.ndarray) -> np.ndarray:
+        if len(iids) == 0:
+            return np.zeros((0, self.dim or 0), dtype=np.float32)
+        return np.stack([self.row_vector(int(i)) for i in iids])
+
+    # ── index management ─────────────────────────────────────────────────
+
+    def build_index(self, index_mode: str = "FLAT-IP", **options) -> None:
+        from ..index import build_index as _build
+
+        with self._lock:
+            self._check_writable()
+            self._flush_pending()
+            _build(self, index_mode, options)
+            self._write_config()
+
+    def remove_index(self) -> None:
+        with self._lock:
+            self._check_writable()
+            metric = self.metric
+            self.index_mode = metric.flat_index_mode
+            self._index = None
+            self._aux_index = None
+            idx_dir = self.root / "index"
+            if idx_dir.exists():
+                shutil.rmtree(idx_dir)
+            self._write_config()
+
+    # ── maintenance ──────────────────────────────────────────────────────
+
+    def compact(self) -> int:
+        """Physically drop tombstoned rows (reference: engine.rs:6494).
+        Returns the number of rows reclaimed."""
+        with self._lock:
+            self._check_writable()
+            self._flush_pending()
+            n = self.n_rows
+            tombs = self.tombstones.to_bool_array(n)
+            reclaimed = int(tombs.sum())
+            if reclaimed == 0:
+                return 0
+            mapping = self.store.compact_rows(~tombs)
+            self.fields.remap(mapping)
+            new_fwd = {}
+            for eid, iid in list(self.idmap.items()):
+                new = mapping[iid] if iid < len(mapping) else -1
+                if new >= 0:
+                    new_fwd[eid] = int(new)
+            # rebuild idmap
+            for eid in list(self.idmap._fwd.keys()):
+                self.idmap.remove(eid)
+            for eid, iid in new_fwd.items():
+                self.idmap.insert(eid, iid)
+            self.idmap.checkpoint()
+            self.tombstones = BitSet(self.store.row_count)
+            self._save_tombstones()
+            self.wal.cleanup()
+            self._reset_device()
+            if self._index is not None:
+                self._index.rebuild(self)
+            return reclaimed
+
+    def stats(self) -> dict:
+        n = self.n_rows
+        deleted = self.tombstones.count()
+        return {
+            "name": self.name,
+            "rows": n,
+            "live_rows": n - deleted,
+            "deleted_rows": deleted,
+            "dim": self.dim,
+            "dtype": self.dtype,
+            "index_mode": self.index_mode,
+            "disk_bytes": self.store.disk_bytes(),
+            "wal_bytes": self.wal.pending_bytes(),
+            "description": self.description,
+            "vector_fields": sorted(self._named_fields.keys()),
+        }
+
+    # ── blobs (reference: engine.rs:6296-6331) ──────────────────────────
+
+    def _blob_path(self, key: str) -> Path:
+        safe = key.replace("/", "_").replace("..", "_")
+        return self.root / "blobs" / safe
+
+    def write_blob(self, key: str, value: bytes) -> None:
+        self._check_writable()
+        path = self._blob_path(key)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        write_atomic(path, value)
+
+    def read_blob(self, key: str) -> Optional[bytes]:
+        path = self._blob_path(key)
+        return path.read_bytes() if path.exists() else None
+
+    def read_blob_range(self, key: str, offset: int, length: int) -> Optional[bytes]:
+        path = self._blob_path(key)
+        if not path.exists():
+            return None
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            return fh.read(length)
+
+    def delete_blob(self, key: str) -> bool:
+        path = self._blob_path(key)
+        if path.exists():
+            path.unlink()
+            return True
+        return False
+
+    # ── snapshot / export (reference: engine.rs:6847/6608) ──────────────
+
+    def snapshot_to(self, snapshot_path: str | Path) -> None:
+        with self._lock:
+            if not self.read_only:
+                self.checkpoint()
+            dst = Path(snapshot_path)
+            if dst.exists():
+                raise InvalidArgument(f"snapshot path already exists: {dst}")
+            shutil.copytree(self.root, dst)
+            manifest = {
+                "format": "lynse_tpu_snapshot_v1",
+                "collection": self.name,
+                "rows": self.n_rows,
+                "dim": self.dim,
+                "created_at": time.time(),
+            }
+            write_atomic(dst / "snapshot.manifest.json", json.dumps(manifest).encode())
+
+    def export_to(self, export_path: str | Path) -> None:
+        """Portable export: vectors.f32 + metadata.jsonl."""
+        with self._lock:
+            self._flush_pending()
+            dst = Path(export_path)
+            dst.mkdir(parents=True, exist_ok=True)
+            data = self.store.read_all()
+            data.astype(np.float32).tofile(dst / "vectors.f32")
+            with open(dst / "metadata.jsonl", "w") as fh:
+                for iid in range(self.n_rows):
+                    rec = {
+                        "id": self.idmap.get_external(iid),
+                        "fields": self.fields.retrieve(iid),
+                        "deleted": self.tombstones.get(iid),
+                    }
+                    fh.write(json.dumps(rec) + "\n")
+            write_atomic(
+                dst / "export.manifest.json",
+                json.dumps(
+                    {
+                        "format": "lynse_tpu_export_v1",
+                        "rows": self.n_rows,
+                        "dim": self.dim,
+                        "dtype": "float32",
+                        "index_mode": self.index_mode,
+                    }
+                ).encode(),
+            )
+
+    # ── named vector fields (reference: engine.rs:521-543, 4042-4388) ───
+
+    def create_vector_field(self, field_name: str, dim: Optional[int] = None,
+                            metric: str = "ip", dtype: str = "float32") -> None:
+        with self._lock:
+            self._check_writable()
+            if field_name in self._named_fields or field_name == "default":
+                raise InvalidArgument(f"vector field already exists: {field_name!r}")
+            m = Metric.parse(metric)
+            if m is None:
+                raise InvalidArgument(f"unknown metric: {metric!r}")
+            sub = Collection(self.root / "named_fields" / field_name,
+                             f"{self.name}.{field_name}", dim=dim)
+            sub.index_mode = m.flat_index_mode
+            sub._write_config()
+            self._named_fields[field_name] = sub
+            self._write_config()
+
+    def list_vector_fields(self) -> list[str]:
+        return sorted(self._named_fields.keys())
+
+    def vector_field(self, field_name: str) -> "Collection":
+        sub = self._named_fields.get(field_name)
+        if sub is None:
+            raise InvalidArgument(f"unknown vector field: {field_name!r}")
+        return sub
+
+    def add_named_vectors(self, field_name: str, external_ids, vectors) -> None:
+        sub = self.vector_field(field_name)
+        sub.upsert_items(vectors, external_ids)
+        sub.commit()

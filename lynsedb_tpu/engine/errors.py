@@ -1,0 +1,42 @@
+"""Engine error types (reference: src/error.rs:1-73)."""
+
+
+class LynseError(Exception):
+    pass
+
+
+class DimensionMismatch(LynseError):
+    pass
+
+
+class CollectionNotFound(LynseError):
+    pass
+
+
+class DatabaseNotFound(LynseError):
+    pass
+
+
+class IndexNotBuilt(LynseError):
+    pass
+
+
+class InvalidArgument(LynseError, ValueError):
+    pass
+
+
+class ReadOnly(LynseError):
+    pass
+
+
+import re as _re
+
+
+def validate_resource_name(name: str) -> str:
+    """Reject path traversal in db/collection names
+    (reference: engine.rs:62-90)."""
+    if not name or len(name) > 255:
+        raise InvalidArgument(f"invalid resource name: {name!r}")
+    if not _re.fullmatch(r"[A-Za-z0-9_\-\.]+", name) or name in (".", "..") or name.startswith("."):
+        raise InvalidArgument(f"invalid resource name: {name!r}")
+    return name

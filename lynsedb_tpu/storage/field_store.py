@@ -1,0 +1,200 @@
+"""Columnar metadata field store with vectorized filtering.
+
+Host-side replacement for the reference's FieldStore on ApexBase
+(reference: src/storage/field_store.rs:694 — SQL WHERE execution :1203,
+in-memory equality-index fast path :711, per-element array index for
+CONTAINS :354, blob table :793). Persistence is an append-only CRC'd
+msgpack log compacted into a snapshot at checkpoint; filtering compiles the
+where string via :mod:`lynsedb_tpu.storage.filter` into a row bitmask that
+the engine ships to the device.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+from typing import Any, Optional
+
+import msgpack
+import numpy as np
+
+from .filter import ColumnProvider, equality_conjuncts, evaluate, parse_where
+
+_REC = struct.Struct("<BQI")
+
+_OP_SET = 0  # (internal_id, fields) — insert or full replace
+_OP_UPDATE = 1  # (internal_id, fields) — merge keys
+
+
+class FieldStore(ColumnProvider):
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.snapshot_path = self.root / "fields.snapshot"
+        self.log_path = self.root / "fields.log"
+        self._rows: list[Optional[dict]] = []
+        self._load()
+        self._log_fh = open(self.log_path, "ab")
+        self._columns: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._eq_index: dict[str, dict] = {}
+        self._index_dirty = True
+
+    # ── persistence ──────────────────────────────────────────────────────
+
+    def _load(self) -> None:
+        if self.snapshot_path.exists():
+            rows = msgpack.unpackb(self.snapshot_path.read_bytes(), raw=False, strict_map_key=False)
+            self._rows = [r if r is not None else None for r in rows]
+        if self.log_path.exists():
+            raw = self.log_path.read_bytes()
+            pos = 0
+            while pos + _REC.size <= len(raw):
+                op, blen, crc = _REC.unpack_from(raw, pos)
+                body = raw[pos + _REC.size : pos + _REC.size + blen]
+                if len(body) < blen or zlib.crc32(body) != crc:
+                    break
+                iid, fields = msgpack.unpackb(body, raw=False, strict_map_key=False)
+                self._apply(op, iid, fields)
+                pos += _REC.size + blen
+
+    def _append_log(self, op: int, iid: int, fields: Optional[dict]) -> None:
+        body = msgpack.packb([iid, fields], use_bin_type=True)
+        self._log_fh.write(_REC.pack(op, len(body), zlib.crc32(body)) + body)
+        self._log_fh.flush()
+
+    def _apply(self, op: int, iid: int, fields: Optional[dict]) -> None:
+        while len(self._rows) <= iid:
+            self._rows.append(None)
+        if op == _OP_SET:
+            self._rows[iid] = fields
+        else:
+            cur = self._rows[iid] or {}
+            cur.update(fields or {})
+            self._rows[iid] = cur
+
+    def checkpoint(self) -> None:
+        from .vector_store import write_atomic
+
+        write_atomic(self.snapshot_path, msgpack.packb(self._rows, use_bin_type=True))
+        self._log_fh.close()
+        self.log_path.unlink(missing_ok=True)
+        self._log_fh = open(self.log_path, "ab")
+
+    def close(self) -> None:
+        if self._log_fh:
+            self._log_fh.close()
+            self._log_fh = None
+
+    # ── writes ───────────────────────────────────────────────────────────
+
+    def store_at(self, iid: int, fields: Optional[dict]) -> None:
+        self._apply(_OP_SET, iid, fields)
+        self._append_log(_OP_SET, iid, fields)
+        self._invalidate()
+
+    def batch_store_at(self, iids, field_list) -> None:
+        for iid, fields in zip(iids, field_list):
+            self._apply(_OP_SET, iid, fields)
+            self._append_log(_OP_SET, iid, fields)
+        self._invalidate()
+
+    def replace_at(self, iid: int, fields: Optional[dict]) -> None:
+        self.store_at(iid, fields)
+
+    def update_at(self, iid: int, fields: dict) -> None:
+        self._apply(_OP_UPDATE, iid, fields)
+        self._append_log(_OP_UPDATE, iid, fields)
+        self._invalidate()
+
+    def truncate_at_or_above(self, boundary: int) -> None:
+        if len(self._rows) > boundary:
+            self._rows = self._rows[:boundary]
+            self._invalidate()
+
+    def remap(self, mapping: np.ndarray) -> None:
+        """Apply a compaction row mapping (old -> new, -1 = dropped)."""
+        new_rows: list[Optional[dict]] = [None] * int((mapping >= 0).sum())
+        for old, new in enumerate(mapping):
+            if new >= 0 and old < len(self._rows):
+                new_rows[int(new)] = self._rows[old]
+        self._rows = new_rows
+        self._invalidate()
+        self.checkpoint()
+
+    def _invalidate(self) -> None:
+        self._columns.clear()
+        self._eq_index.clear()
+        self._index_dirty = True
+
+    # ── reads ────────────────────────────────────────────────────────────
+
+    def n_rows(self) -> int:
+        return len(self._rows)
+
+    def retrieve(self, iid: int) -> dict:
+        if 0 <= iid < len(self._rows) and self._rows[iid] is not None:
+            return dict(self._rows[iid])
+        return {}
+
+    def retrieve_many(self, iids) -> list[dict]:
+        return [self.retrieve(int(i)) for i in iids]
+
+    def list_fields(self) -> list[str]:
+        keys: set[str] = set()
+        for r in self._rows:
+            if r:
+                keys.update(r.keys())
+        return sorted(keys)
+
+    def column(self, field: str):
+        cached = self._columns.get(field)
+        if cached is not None:
+            return cached
+        n = len(self._rows)
+        values = np.empty(n, dtype=object)
+        present = np.zeros(n, dtype=bool)
+        for i, r in enumerate(self._rows):
+            if r is not None and field in r and r[field] is not None:
+                values[i] = r[field]
+                present[i] = True
+        self._columns[field] = (values, present)
+        return values, present
+
+    # ── filtering ────────────────────────────────────────────────────────
+
+    def _build_eq_index(self) -> None:
+        if not self._index_dirty:
+            return
+        self._eq_index.clear()
+        for i, r in enumerate(self._rows):
+            if not r:
+                continue
+            for key, val in r.items():
+                if isinstance(val, (str, int, bool)) and not isinstance(val, float):
+                    self._eq_index.setdefault(key, {}).setdefault(val, []).append(i)
+        self._index_dirty = False
+
+    def query_mask(self, where: Optional[str]) -> np.ndarray:
+        """Compile + evaluate a where string into a bool row mask."""
+        n = len(self._rows)
+        if where is None or not str(where).strip():
+            return np.ones(n, dtype=bool)
+        ast = parse_where(where)
+        eqs = equality_conjuncts(ast)
+        if eqs is not None and all(
+            isinstance(v, (str, bool)) or isinstance(v, int) for _, v in eqs
+        ):
+            self._build_eq_index()
+            mask = None
+            for field, value in eqs:
+                ids = self._eq_index.get(field, {}).get(value, [])
+                m = np.zeros(n, dtype=bool)
+                if ids:
+                    m[np.asarray(ids)] = True
+                mask = m if mask is None else (mask & m)
+            return mask if mask is not None else np.ones(n, dtype=bool)
+        return evaluate(ast, self)
+
+    def query_ids(self, where: Optional[str]) -> np.ndarray:
+        return np.nonzero(self.query_mask(where))[0]

@@ -1,0 +1,315 @@
+"""End-to-end embedded-mode tests: client -> collection -> engine -> device."""
+
+import numpy as np
+import pytest
+
+import lynsedb_tpu as lynse
+
+
+def test_create_database_and_collection(client):
+    db = client.create_database("db1", drop_if_exists=True)
+    coll = db.require_collection("c1", dim=4)
+    assert client.database_exists("db1")
+    assert "c1" in db.show_collections()
+    assert coll.shape == (0, 4)
+
+
+def test_add_and_search_roundtrip(populated_collection):
+    coll, vectors, ids = populated_collection
+    res = coll.search(vectors[0], k=3)
+    assert res.ids[0] == ids[0]
+    assert len(res.ids) == 3
+    assert res.distance_metric == "IP"
+    assert res.index_type == "Flat"
+
+
+def test_auto_ids(db):
+    coll = db.require_collection("auto", dim=4, drop_if_exists=True)
+    first = coll.add(vectors=np.eye(4, dtype=np.float32))
+    assert first == [0, 1, 2, 3]
+    nxt = coll.add(vectors=np.ones((1, 4), dtype=np.float32))
+    assert nxt == 4
+    coll.commit()
+    assert coll.shape == (5, 4)
+
+
+def test_string_ids(db, rng):
+    coll = db.require_collection("strs", dim=8, drop_if_exists=True)
+    vecs = rng.normal(size=(3, 8)).astype(np.float32)
+    coll.add(["doc-a", "doc-b", "doc-c"], vectors=vecs)
+    coll.commit()
+    res = coll.search(vecs[1], k=1)
+    assert res.ids[0] == "doc-b"
+    assert coll.is_id_exists("doc-a")
+    assert not coll.is_id_exists("doc-z")
+
+
+def test_duplicate_id_rejected(db):
+    coll = db.require_collection("dups", dim=2, drop_if_exists=True)
+    coll.add([1], vectors=[[1.0, 0.0]])
+    with pytest.raises(Exception):
+        coll.add([1], vectors=[[0.0, 1.0]])
+    with pytest.raises(Exception):
+        coll.add([7, 7], vectors=[[0.0, 1.0], [1.0, 0.0]])
+
+
+def test_fields_and_filtered_search(populated_collection):
+    coll, vectors, ids = populated_collection
+    res = coll.search(vectors[0], k=20, where="group = 'even'", return_fields=True)
+    assert len(res.ids) == 10
+    assert all(f["group"] == "even" for f in res.fields)
+    assert all(i % 2 == 0 for i in res.ids)
+
+
+def test_filter_numeric_range(populated_collection):
+    coll, vectors, ids = populated_collection
+    res = coll.search(vectors[0], k=20, where="idx >= 5 AND idx < 9")
+    assert sorted(res.ids.tolist()) == [5, 6, 7, 8]
+
+
+def test_filter_in_and_or(populated_collection):
+    coll, vectors, _ = populated_collection
+    res = coll.search(vectors[0], k=20, where="idx IN (1, 3, 5)")
+    assert sorted(res.ids.tolist()) == [1, 3, 5]
+    res = coll.search(vectors[0], k=20, where="idx = 1 OR idx = 2")
+    assert sorted(res.ids.tolist()) == [1, 2]
+
+
+def test_query_and_query_vectors(populated_collection):
+    coll, vectors, ids = populated_collection
+    q = coll.query(where="group = 'odd'")
+    assert len(q.ids) == 10
+    qv = coll.query_vectors(where="idx = 3")
+    assert qv.vectors.shape == (1, 8)
+    np.testing.assert_allclose(qv.vectors[0], vectors[2], rtol=1e-6)
+    only = coll.query(where="idx = 3", return_ids_only=True)
+    assert only.tolist() == [3]
+
+
+def test_delete_restore(populated_collection):
+    coll, vectors, ids = populated_collection
+    assert coll.delete([1, 2]) == 2
+    res = coll.search(vectors[0], k=20)
+    assert 1 not in res.ids and 2 not in res.ids
+    assert sorted(coll.list_deleted_ids()) == [1, 2]
+    assert coll.restore([1]) == 1
+    res = coll.search(vectors[0], k=20)
+    assert 1 in res.ids
+    assert coll.list_deleted_ids() == [2]
+
+
+def test_upsert(populated_collection):
+    coll, vectors, ids = populated_collection
+    new_vec = np.full(8, 9.0, dtype=np.float32)
+    coll.upsert([5], vectors=[new_vec], fields=[{"group": "changed"}])
+    coll.commit()
+    res = coll.search(new_vec, k=1, return_fields=True)
+    assert res.ids[0] == 5
+    assert res.fields[0]["group"] == "changed"
+    # upsert of a new id inserts
+    coll.upsert([999], vectors=[np.ones(8, dtype=np.float32)])
+    assert coll.is_id_exists(999)
+
+
+def test_update_fields_only(populated_collection):
+    coll, vectors, _ = populated_collection
+    coll.update_fields([3], [{"extra": "yes"}])
+    res = coll.query(where="extra = 'yes'")
+    assert res.ids.tolist() == [3]
+    # original fields are preserved (merge semantics)
+    assert res.fields[0]["group"] == "odd"
+
+
+def test_head_tail(populated_collection):
+    coll, _, ids = populated_collection
+    h = coll.head(3)
+    assert h.ids.tolist() == [1, 2, 3]
+    assert h.vectors.shape == (3, 8)
+    t = coll.tail(2)
+    assert t.ids.tolist() == [19, 20]
+
+
+def test_persistence_roundtrip(tmp_root, rng):
+    vecs = rng.normal(size=(10, 4)).astype(np.float32)
+    client = lynse.VectorDBClient(tmp_root)
+    db = client.create_database("p", drop_if_exists=True)
+    coll = db.require_collection("c", dim=4)
+    coll.add(list(range(10)), vectors=vecs, fields=[{"i": i} for i in range(10)])
+    coll.commit()
+    client.close()
+
+    client2 = lynse.VectorDBClient(tmp_root)
+    coll2 = client2.get_database("p").get_collection("c", warm_up=False)
+    assert coll2.shape == (10, 4)
+    res = coll2.search(vecs[7], k=1, return_fields=True)
+    assert res.ids[0] == 7
+    assert res.fields[0]["i"] == 7
+    client2.close()
+
+
+def test_wal_recovery_without_commit(tmp_root, rng):
+    """Rows added but never committed must survive via WAL replay."""
+    vecs = rng.normal(size=(5, 4)).astype(np.float32)
+    client = lynse.VectorDBClient(tmp_root)
+    db = client.create_database("w", drop_if_exists=True)
+    coll = db.require_collection("c", dim=4)
+    coll.add(list(range(5)), vectors=vecs, fields=[{"i": i} for i in range(5)])
+    # simulate crash: no commit, no close — reopen from disk
+    del coll, db
+
+    # release the manager lock first
+    client.close()
+    client2 = lynse.VectorDBClient(tmp_root)
+    coll2 = client2.get_database("w").get_collection("c", warm_up=False)
+    assert coll2.shape == (5, 4)
+    res = coll2.search(vecs[2], k=1, return_fields=True)
+    want = int(np.argmax(vecs @ vecs[2]))  # IP ground truth
+    assert res.ids[0] == want
+    assert res.fields[0]["i"] == want
+    client2.close()
+
+
+def test_stats_and_compact(populated_collection):
+    coll, vectors, _ = populated_collection
+    coll.delete([1, 2, 3])
+    st = coll.stats()
+    assert st["rows"] == 20 and st["deleted_rows"] == 3
+    reclaimed = coll.compact()
+    assert reclaimed == 3
+    assert coll.shape == (17, 8)
+    # external ids and vectors survive compaction intact
+    qv = coll.query_vectors(where="idx = 5")
+    assert qv.ids.tolist() == [5]
+    np.testing.assert_allclose(qv.vectors[0], vectors[4], rtol=1e-6)
+    st = coll.stats()
+    assert st["deleted_rows"] == 0
+
+
+def test_drop_collection(db):
+    coll = db.require_collection("todrop", dim=2, drop_if_exists=True)
+    coll.add([1], vectors=[[1.0, 0.0]])
+    coll.commit()
+    db.drop_collection("todrop")
+    assert "todrop" not in db.show_collections()
+
+
+def test_snapshot_restore(populated_collection, db, tmp_path):
+    coll, vectors, _ = populated_collection
+    snap = tmp_path / "snap"
+    coll.snapshot_to(snap)
+    restored = db.restore_collection(snap, "restored")
+    assert restored.shape == (20, 8)
+    res = restored.search(vectors[0], k=1)
+    assert res.ids[0] == 1
+
+
+def test_export_import(populated_collection, db, tmp_path):
+    coll, vectors, _ = populated_collection
+    exp = tmp_path / "exp"
+    coll.export_to(exp)
+    imported = db.import_collection(exp, "imported")
+    assert imported.shape == (20, 8)
+    res = imported.search(vectors[3], k=1, return_fields=True)
+    assert res.ids[0] == 4
+
+
+def test_blobs(populated_collection):
+    coll, _, _ = populated_collection
+    coll.write_blob("model.bin", b"hello world")
+    assert coll.read_blob("model.bin") == b"hello world"
+    assert coll.read_blob_range("model.bin", 6, 5) == b"world"
+    assert coll.delete_blob("model.bin")
+    assert coll.read_blob("model.bin") is None
+
+
+def test_insert_session(db, rng):
+    coll = db.require_collection("sess", dim=4, drop_if_exists=True)
+    vecs = rng.normal(size=(7, 4)).astype(np.float32)
+    with coll.insert_session() as s:
+        s.add(vectors=vecs)
+    assert coll.shape == (7, 4)
+
+
+def test_insert_session_rollback(db, rng):
+    coll = db.require_collection("sess2", dim=4, drop_if_exists=True)
+    try:
+        with coll.insert_session() as s:
+            s.add(vectors=rng.normal(size=(3, 4)).astype(np.float32))
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert coll.shape == (0, 4)
+
+
+def test_search_range(populated_collection):
+    coll, vectors, _ = populated_collection
+    # IP is descending: range search keeps scores >= threshold
+    res = coll.search_range(vectors[0], threshold=-100.0)
+    assert len(res.ids) == 20
+    res = coll.search_range(vectors[0], threshold=float(res.distances[2]))
+    assert len(res.ids) == 3
+
+
+def test_reranker_hook(populated_collection):
+    coll, vectors, ids = populated_collection
+
+    def reranker(payload):
+        # reverse the order
+        return [item["id"] for item in reversed(payload["items"])]
+
+    plain = coll.search(vectors[0], k=5)
+    reranked = coll.search(vectors[0], k=5, reranker=reranker)
+    assert reranked.ids.tolist() == plain.ids.tolist()[::-1]
+    top2 = coll.search(vectors[0], k=5, reranker=reranker, rerank_k=2)
+    assert len(top2.ids) == 2
+
+
+def test_document_add_and_search(db):
+    coll = db.require_collection("docs", drop_if_exists=True, default_index="FLAT-COS")
+    coll.add(
+        ["a", "b", "c"],
+        documents=["the quick brown fox", "lazy dogs sleep", "quick brown foxes jump"],
+    )
+    coll.commit()
+    res = coll.search(document="quick brown fox", k=2, return_fields=True)
+    assert set(res.ids.tolist()) <= {"a", "b", "c"}
+    assert res.ids[0] == "a"
+    assert "document" in res.fields[0]
+
+
+def test_read_only_mode(tmp_root, rng):
+    client = lynse.VectorDBClient(tmp_root)
+    db = client.create_database("ro", drop_if_exists=True)
+    coll = db.require_collection("c", dim=4)
+    coll.add([1], vectors=[[1.0, 0, 0, 0]])
+    coll.commit()
+    client.close()
+
+    ro = lynse.VectorDBClient(tmp_root, read_only=True)
+    coll2 = ro.get_database("ro").get_collection("c", warm_up=False)
+    with pytest.raises(Exception):
+        coll2.add([2], vectors=[[0, 1.0, 0, 0]])
+    res = coll2.search([1.0, 0, 0, 0], k=1)
+    assert res.ids[0] == 1
+    ro.close()
+
+
+def test_batch_search(populated_collection):
+    coll, vectors, ids = populated_collection
+    results = coll.batch_search(vectors[:4], k=3)
+    assert len(results) == 4
+    for i, rv in enumerate(results):
+        assert rv.ids[0] == ids[i]
+
+
+def test_named_vector_fields(db, rng):
+    coll = db.require_collection("multi", dim=4, drop_if_exists=True)
+    coll.add([1, 2], vectors=rng.normal(size=(2, 4)).astype(np.float32))
+    coll.create_vector_field("image", dim=8, metric="l2")
+    img = rng.normal(size=(2, 8)).astype(np.float32)
+    coll.add_named_vectors("image", [1, 2], img)
+    coll.commit()
+    assert coll.list_vector_fields() == ["image"]
+    res = coll.search(img[1], k=1, vector_field="image")
+    assert res.ids[0] == 2
+    assert res.distance_metric == "L2"

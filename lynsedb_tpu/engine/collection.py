@@ -604,13 +604,12 @@ class Collection:
             index_path = "flat"
             subset = int(mask.sum()) if mask is not None else self.n_rows
 
-            if self._index is not None and (
-                mask is None or not should_use_exact_filtered_search(subset, self.n_rows)
-            ):
+            use_exact = mask is not None and should_use_exact_filtered_search(subset, self.n_rows)
+            if self._index is not None and not use_exact:
                 dists, ids = self._index.search(self, q, k, mask=mask, nprobe=nprobe)
                 index_path = self._index.kind
-            elif self._aux_index is not None and mask is None:
-                dists, ids = self._aux_index.search(self, q, k, nprobe=nprobe)
+            elif self._aux_index is not None and not use_exact:
+                dists, ids = self._aux_index.search(self, q, k, nprobe=nprobe, mask=mask)
                 index_path = self._aux_index.kind
             else:
                 dists, ids = corpus.search(q, k, metric, filter_mask=mask)

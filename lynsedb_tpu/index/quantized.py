@@ -1,0 +1,234 @@
+"""Aux quantized shortlist indexes for FLAT modes: SQ8 / PQ / RaBitQ / PolarVec.
+
+Two-pass search mirroring the reference (engine.rs:5504 aux quantized path,
+pq_mmap.rs/rabitq_mmap.rs/polarvec_mmap.rs): an approximate int8-matmul scan
+over the whole corpus produces an oversampled shortlist; candidates are
+exactly re-ranked from the f32 corpus on device.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import Metric
+from ..ops import quantize as Q
+from ..ops.scan import rescore_rows
+from ..ops.topk import masked_top_k
+from ..storage.vector_store import write_atomic
+
+OVERSAMPLE = {"sq8": 4, "pq": 8, "rabitq": 16, "polarvec": 8}
+
+_METRIC_KIND = {Metric.IP: "ip", Metric.L2: "l2", Metric.COSINE: "cosine"}
+
+
+class AuxQuantIndex:
+    def __init__(self, coll, mode, opts, kind: str, state: dict, encoded_rows: int):
+        self.mode = mode
+        self.metric: Metric = mode.metric
+        self.kind = kind
+        self.state = state  # numpy arrays (host copies)
+        self.encoded_rows = encoded_rows
+        self._dev: Optional[dict] = None
+
+    # ── build / encode ───────────────────────────────────────────────────
+
+    @classmethod
+    def build(cls, coll, mode, opts) -> "AuxQuantIndex":
+        data = coll.store.read_all()
+        if data.shape[0] == 0:
+            raise ValueError("cannot build a quantized index on an empty collection")
+        kind = mode.quantizer
+        state = cls._fit_encode(kind, data, mode)
+        idx = cls(coll, mode, opts, kind, state, data.shape[0])
+        idx.save(coll)
+        return idx
+
+    @staticmethod
+    def _fit_encode(kind: str, data: np.ndarray, mode) -> dict:
+        if kind == "sq8":
+            sq = Q.SQ8.fit(data)
+            codes = sq.encode(data)
+            decoded_sq = (sq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            return {"codes": codes, "lo": sq.lo, "scale": sq.scale, "row_sq": decoded_sq}
+        if kind == "rabitq":
+            rq = Q.RaBitQ.fit(data.shape[1])
+            enc = rq.encode(data)
+            return {"signs": rq.signs, "dim_pad": np.int64(rq.dim_pad), **enc}
+        if kind == "polarvec":
+            bits = mode.polarvec_bits or 4
+            pv = Q.PolarVec.fit(data.shape[1], bits=bits)
+            enc = pv.encode(data)
+            return {"signs": pv.signs, "dim_pad": np.int64(pv.dim_pad),
+                    "bits": np.int64(bits), **enc}
+        if kind == "pq":
+            pq = Q.PQ.fit(data, mode.pq_subspaces)
+            codes = pq.encode(data)
+            row_sq = (pq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            return {"codes": codes, "codebooks": pq.codebooks, "row_sq": row_sq}
+        raise ValueError(f"unknown quantizer kind: {kind}")
+
+    def _encode_tail(self, data: np.ndarray) -> dict:
+        """Encode new rows with the existing trained parameters."""
+        s = self.state
+        if self.kind == "sq8":
+            sq = Q.SQ8(s["lo"], s["lo"] + s["scale"] * 255.0)
+            codes = sq.encode(data)
+            row_sq = (sq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            return {"codes": codes, "row_sq": row_sq}
+        if self.kind == "rabitq":
+            rq = Q.RaBitQ(s["signs"], data.shape[1], int(s["dim_pad"]))
+            return rq.encode(data)
+        if self.kind == "polarvec":
+            pv = Q.PolarVec(s["signs"], data.shape[1], int(s["dim_pad"]), int(s["bits"]))
+            return pv.encode(data)
+        if self.kind == "pq":
+            pq = Q.PQ(s["codebooks"])
+            codes = pq.encode(data)
+            row_sq = (pq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            return {"codes": codes, "row_sq": row_sq}
+        raise ValueError(self.kind)
+
+    # ── persistence ──────────────────────────────────────────────────────
+
+    def save(self, coll) -> None:
+        idx_dir = coll.root / "index"
+        idx_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(idx_dir / "aux.npz", **{k: np.asarray(v) for k, v in self.state.items()})
+        write_atomic(
+            idx_dir / "aux_meta.json",
+            json.dumps({"kind": self.kind, "encoded_rows": int(self.encoded_rows)}).encode(),
+        )
+
+    @classmethod
+    def load(cls, coll, mode, opts) -> Optional["AuxQuantIndex"]:
+        idx_dir = coll.root / "index"
+        path = idx_dir / "aux.npz"
+        if not path.exists():
+            return None
+        data = np.load(path)
+        meta = json.loads((idx_dir / "aux_meta.json").read_text())
+        state = {k: data[k] for k in data.files}
+        return cls(coll, mode, opts, meta["kind"], state, meta["encoded_rows"])
+
+    # ── search ───────────────────────────────────────────────────────────
+
+    def _device(self) -> dict:
+        if self._dev is None:
+            self._dev = {
+                k: jnp.asarray(v)
+                for k, v in self.state.items()
+                if isinstance(v, np.ndarray) and v.ndim >= 1
+            }
+        return self._dev
+
+    def _approx_scores(self, q: np.ndarray) -> jnp.ndarray:
+        dev = self._device()
+        kind = _METRIC_KIND[self.metric]
+        qj = jnp.asarray(q)
+        if self.kind == "sq8":
+            return Q.sq8_scores(qj, dev["codes"], dev["lo"], dev["scale"], dev["row_sq"], kind)
+        if self.kind == "rabitq":
+            q_rot = Q.rotate(qj, self.state["signs"], int(self.state["dim_pad"]))
+            q_sq = jnp.sum(qj * qj, axis=-1)
+            return Q.rabitq_scores(q_rot, dev["bits"], dev["alpha"], dev["row_sq"], q_sq, kind)
+        if self.kind == "polarvec":
+            q_rot = Q.rotate(qj, self.state["signs"], int(self.state["dim_pad"]))
+            q_sq = jnp.sum(qj * qj, axis=-1)
+            return Q.polarvec_scores(
+                q_rot, dev["codes"], dev["lo"], dev["scale"], dev["row_sq"], q_sq, kind
+            )
+        if self.kind == "pq":
+            return Q.pq_scores(qj, dev["codes"].astype(jnp.int32), dev["codebooks"], dev["row_sq"], kind)
+        raise ValueError(self.kind)
+
+    def search(self, coll, q: np.ndarray, k: int, nprobe: int = 0, mask: Optional[np.ndarray] = None):
+        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        metric = self.metric
+        corpus = coll.corpus()
+        n_codes = self.encoded_rows
+
+        scores = self._approx_scores(q)  # (B, n_codes)
+        live = corpus.valid_mask(mask)[:n_codes]
+        shortlist = min(max(k * OVERSAMPLE[self.kind], k), n_codes)
+        _, cand = masked_top_k(scores, shortlist, metric.ascending, live)
+        cand_np = np.asarray(cand, dtype=np.int64)
+
+        # exact re-rank of shortlisted candidates from the f32 corpus
+        exact = corpus.rescore(q, cand_np, metric)  # (B, shortlist)
+        keyed = np.where(np.isnan(exact), -np.inf, -exact if metric.ascending else exact)
+
+        # exact-scanned tail for rows encoded after the last on_commit
+        extra_d, extra_i = None, None
+        if n_codes < coll.n_rows:
+            tail_mask = np.zeros(coll.n_rows, dtype=bool)
+            tail_mask[n_codes:] = True
+            if mask is not None:
+                tail_mask &= mask[: coll.n_rows]
+            extra_d, extra_i = corpus.search(q, k, metric, filter_mask=tail_mask)
+
+        out_d, out_i = [], []
+        for b in range(q.shape[0]):
+            pairs = [
+                (keyed[b, j], float(exact[b, j]), int(cand_np[b, j]))
+                for j in range(cand_np.shape[1])
+                if np.isfinite(keyed[b, j])
+            ]
+            if extra_i is not None:
+                for j in range(extra_i.shape[1]):
+                    rid = int(extra_i[b, j])
+                    if rid >= 0:
+                        d = float(extra_d[b, j])
+                        pairs.append((-d if metric.ascending else d, d, rid))
+            pairs.sort(key=lambda p: -p[0])
+            seen, dd, ii = set(), [], []
+            for _, d, rid in pairs:
+                if rid in seen:
+                    continue
+                seen.add(rid)
+                dd.append(d)
+                ii.append(rid)
+                if len(ii) >= k:
+                    break
+            out_d.append(dd)
+            out_i.append(ii)
+        width = max((len(x) for x in out_i), default=0)
+        d_arr = np.zeros((q.shape[0], width), dtype=np.float32)
+        i_arr = np.full((q.shape[0], width), -1, dtype=np.int64)
+        for b in range(q.shape[0]):
+            d_arr[b, : len(out_d[b])] = out_d[b]
+            i_arr[b, : len(out_i[b])] = out_i[b]
+        return d_arr, i_arr
+
+    # ── lifecycle ────────────────────────────────────────────────────────
+
+    def on_commit(self, coll) -> None:
+        n = coll.store.row_count
+        if n > self.encoded_rows:
+            tail = coll.store.read_rows(self.encoded_rows, n - self.encoded_rows)
+            enc = self._encode_tail(tail)
+            for key, val in enc.items():
+                if key in self.state and isinstance(self.state[key], np.ndarray) and self.state[key].ndim >= 1:
+                    if self.state[key].shape[0] == self.encoded_rows:
+                        self.state[key] = np.concatenate([self.state[key], val], axis=0)
+            self.encoded_rows = n
+            self._dev = None
+            self.save(coll)
+
+    def rebuild(self, coll) -> None:
+        data = coll.store.read_all()
+        self.state = self._fit_encode(self.kind, data, self.mode)
+        self.encoded_rows = data.shape[0]
+        self._dev = None
+        self.save(coll)
+
+
+def build_aux_index(coll, mode, opts) -> AuxQuantIndex:
+    return AuxQuantIndex.build(coll, mode, opts)
+
+
+def load_aux_index(coll, mode, opts) -> Optional[AuxQuantIndex]:
+    return AuxQuantIndex.load(coll, mode, opts)

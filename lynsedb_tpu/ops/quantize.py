@@ -1,0 +1,303 @@
+"""Quantized-scan kernels: SQ8, PQ, RaBitQ, PolarVec — TPU-first.
+
+Reference behavior (semantics, not design): quantizer trait + SQ8/Binary/PQ
+codecs (src/quantizer/mod.rs:34-698), PQ ADC LUT scan (storage/pq_mmap.rs:46),
+RaBitQ 1-bit with randomized Hadamard transform (storage/rabitq_mmap.rs:49),
+PolarVec training-free multi-bit (storage/polarvec_mmap.rs:74). All are
+shortlist producers followed by exact f32 re-rank.
+
+TPU formulation: every scan lowers to an int8 MXU matmul plus rank-1
+corrections —
+
+  SQ8      x ~ lo_d + (c+128)*s_d       -> q.x ~ q.lo' + (q*s).c
+  RaBitQ   rot(x) ~ alpha * sgn         -> q.x ~ alpha * (rot(q).sgn)
+  PolarVec rot(x) ~ lo_r + c*s_r        -> q.x ~ lo_r*sum(rot(q)) + s_r*(rot(q).c)
+  PQ       ADC: per-subspace codebook lookup, summed
+
+where the Hadamard rotation is itself a log-D sequence of reshaped adds
+(pure VPU). Codes are stored as int8 on device (4x HBM traffic reduction vs
+f32; 1-bit physical packing is a later Pallas optimization).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ── Hadamard rotation ────────────────────────────────────────────────────
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def fwht(x: jnp.ndarray) -> jnp.ndarray:
+    """Fast Walsh-Hadamard transform along the last axis (power-of-2 dim),
+    normalized by 1/sqrt(D) so it is orthonormal."""
+    d = x.shape[-1]
+    h = 1
+    while h < d:
+        x = x.reshape(x.shape[:-1] + (d // (2 * h), 2, h))
+        a = x[..., 0, :]
+        b = x[..., 1, :]
+        x = jnp.concatenate([a + b, a - b], axis=-1).reshape(x.shape[:-3] + (d,))
+        h *= 2
+    return x / jnp.sqrt(jnp.float32(d))
+
+
+def rotation_signs(dim_pad: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim_pad)
+
+
+def rotate(x: np.ndarray | jnp.ndarray, signs: np.ndarray, dim_pad: int) -> jnp.ndarray:
+    """Pad to 2^m, apply random signs, then FWHT (the RHT used by
+    RaBitQ/PolarVec, cf. rabitq_mmap.rs pad->signs->FWHT)."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    pad = dim_pad - x.shape[-1]
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return fwht(x * jnp.asarray(signs))
+
+
+def _int8_dot(a_f32: jnp.ndarray, codes_i8_t: jnp.ndarray) -> jnp.ndarray:
+    """f32 (B, D) x int8 (D, N) with f32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        a_f32,
+        codes_i8_t.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ── SQ8 ──────────────────────────────────────────────────────────────────
+
+
+class SQ8:
+    """Per-dimension min/max scalar quantizer (quantizer/mod.rs:115).
+    Codes are centered int8 (c = u8 - 128) so the MXU int8 path applies."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray):
+        self.lo = lo.astype(np.float32)
+        self.scale = ((hi - lo) / 255.0).astype(np.float32)
+        self.scale[self.scale == 0] = 1e-30
+
+    @classmethod
+    def fit(cls, data: np.ndarray) -> "SQ8":
+        return cls(data.min(axis=0), data.max(axis=0))
+
+    def encode(self, data: np.ndarray) -> np.ndarray:
+        u = np.clip(np.round((data - self.lo) / self.scale), 0, 255)
+        return (u - 128).astype(np.int8)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        return (codes.astype(np.float32) + 128.0) * self.scale + self.lo
+
+    def to_arrays(self):
+        return {"lo": self.lo, "scale": self.scale}
+
+
+@partial(jax.jit, static_argnames=("metric_kind",))
+def sq8_scores(
+    q: jnp.ndarray,  # (B, D) f32
+    codes: jnp.ndarray,  # (N, D) int8
+    lo: jnp.ndarray,  # (D,)
+    scale: jnp.ndarray,  # (D,)
+    row_sq: jnp.ndarray,  # (N,) decoded squared norms
+    metric_kind: str,  # "ip" | "l2" | "cosine"
+):
+    """Approximate scores against SQ8 codes. q.x_hat decomposes into
+    q.(lo + 128*scale) + (q*scale).c — one int8 matmul."""
+    base = q @ (lo + 128.0 * scale)  # (B,)
+    ip = base[:, None] + _int8_dot(q * scale[None, :], codes.T)
+    if metric_kind == "ip":
+        return ip
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    if metric_kind == "l2":
+        return jnp.maximum(q_sq + row_sq[None, :] - 2.0 * ip, 0.0)
+    denom = jnp.sqrt(q_sq * row_sq[None, :])
+    return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+
+
+# ── RaBitQ (1-bit + RHT) ─────────────────────────────────────────────────
+
+
+class RaBitQ:
+    """1 bit/dim in the rotated domain: rot(x) ~ alpha * sign(rot(x)) with
+    alpha = mean |rot(x)| per row (the L1-optimal 1-bit scale)."""
+
+    def __init__(self, signs: np.ndarray, dim: int, dim_pad: int):
+        self.signs = signs
+        self.dim = dim
+        self.dim_pad = dim_pad
+
+    @classmethod
+    def fit(cls, dim: int, seed: int = 1234) -> "RaBitQ":
+        dim_pad = _next_pow2(dim)
+        return cls(rotation_signs(dim_pad, seed), dim, dim_pad)
+
+    def encode(self, data: np.ndarray) -> dict:
+        rot = np.asarray(rotate(data, self.signs, self.dim_pad))
+        alpha = np.abs(rot).mean(axis=-1).astype(np.float32)
+        bits = np.where(rot > 0, 1, -1).astype(np.int8)
+        row_sq = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        return {"bits": bits, "alpha": alpha, "row_sq": row_sq}
+
+
+@partial(jax.jit, static_argnames=("metric_kind",))
+def rabitq_scores(q_rot, bits, alpha, row_sq, q_sq, metric_kind: str):
+    """Estimated scores: <rot q, rot x> ~ alpha * <rot q, sgn>."""
+    ip = alpha[None, :] * _int8_dot(q_rot, bits.T)
+    if metric_kind == "ip":
+        return ip
+    if metric_kind == "l2":
+        return jnp.maximum(q_sq[:, None] + row_sq[None, :] - 2.0 * ip, 0.0)
+    denom = jnp.sqrt(q_sq[:, None] * row_sq[None, :])
+    return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+
+
+# ── PolarVec (training-free multi-bit + RHT) ────────────────────────────
+
+
+class PolarVec:
+    """Multi-bit (default 4) uniform quantization per row in the rotated
+    domain: rot(x) ~ lo_r + c * s_r, c in [0, 2^bits)."""
+
+    def __init__(self, signs: np.ndarray, dim: int, dim_pad: int, bits: int = 4):
+        self.signs = signs
+        self.dim = dim
+        self.dim_pad = dim_pad
+        self.bits = bits
+        self.levels = (1 << bits) - 1
+
+    @classmethod
+    def fit(cls, dim: int, bits: int = 4, seed: int = 5678) -> "PolarVec":
+        return cls(rotation_signs(_next_pow2(dim), seed), dim, _next_pow2(dim), bits)
+
+    def encode(self, data: np.ndarray) -> dict:
+        rot = np.asarray(rotate(data, self.signs, self.dim_pad))
+        lo = rot.min(axis=-1).astype(np.float32)
+        hi = rot.max(axis=-1).astype(np.float32)
+        scale = ((hi - lo) / max(self.levels, 1)).astype(np.float32)
+        scale[scale == 0] = 1e-30
+        c = np.clip(np.round((rot - lo[:, None]) / scale[:, None]), 0, self.levels)
+        row_sq = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        return {
+            "codes": c.astype(np.int8),
+            "lo": lo,
+            "scale": scale,
+            "row_sq": row_sq,
+        }
+
+
+@partial(jax.jit, static_argnames=("metric_kind",))
+def polarvec_scores(q_rot, codes, lo, scale, row_sq, q_sq, metric_kind: str):
+    qsum = jnp.sum(q_rot, axis=-1)  # (B,)
+    ip = lo[None, :] * qsum[:, None] + scale[None, :] * _int8_dot(q_rot, codes.T)
+    if metric_kind == "ip":
+        return ip
+    if metric_kind == "l2":
+        return jnp.maximum(q_sq[:, None] + row_sq[None, :] - 2.0 * ip, 0.0)
+    denom = jnp.sqrt(q_sq[:, None] * row_sq[None, :])
+    return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+
+
+# ── Product quantization ─────────────────────────────────────────────────
+
+
+def parse_n_subspaces(dim: int, requested: int | None) -> int:
+    """Pick a subspace count that divides the (padded) dim; default 16
+    (pq_mmap.rs M=16)."""
+    m = requested or 16
+    m = min(m, dim)
+    while dim % m != 0:
+        m -= 1
+    return max(m, 1)
+
+
+class PQ:
+    """Per-subspace 256-entry codebooks trained with the on-TPU k-means
+    (quantizer/mod.rs:420 ProductQuantizer, pq_mmap.rs ADC scan)."""
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = codebooks.astype(np.float32)  # (M, 256, Ds)
+        self.m = codebooks.shape[0]
+        self.ds = codebooks.shape[2]
+
+    @classmethod
+    def fit(cls, data: np.ndarray, n_subspaces: int | None = None, seed: int = 42) -> "PQ":
+        from .kmeans import train_kmeans
+
+        n, dim = data.shape
+        m = parse_n_subspaces(dim, n_subspaces)
+        ds = dim // m
+        k = min(256, max(2, n))
+        books = np.zeros((m, 256, ds), dtype=np.float32)
+        for s in range(m):
+            sub = np.ascontiguousarray(data[:, s * ds : (s + 1) * ds])
+            cents, _ = train_kmeans(sub, k, seed=seed + s, max_iters=15)
+            books[s, : cents.shape[0]] = cents
+            if cents.shape[0] < 256:
+                books[s, cents.shape[0] :] = cents[0]
+        return cls(books)
+
+    def encode(self, data: np.ndarray) -> np.ndarray:
+        from .kmeans import assign_clusters
+
+        n, dim = data.shape
+        codes = np.zeros((n, self.m), dtype=np.uint8)
+        chunk = 65536
+        n_pad = ((n + chunk - 1) // chunk) * chunk if n > chunk else n
+        for s in range(self.m):
+            sub = np.ascontiguousarray(data[:, s * self.ds : (s + 1) * self.ds])
+            if n_pad != n:
+                padded = np.zeros((n_pad, self.ds), dtype=np.float32)
+                padded[:n] = sub
+                sub = padded
+            a = np.asarray(assign_clusters(jnp.asarray(sub), jnp.asarray(self.codebooks[s]),
+                                           min(chunk, sub.shape[0])))[:n]
+            codes[:, s] = a.astype(np.uint8)
+        return codes
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        n = codes.shape[0]
+        out = np.zeros((n, self.m * self.ds), dtype=np.float32)
+        for s in range(self.m):
+            out[:, s * self.ds : (s + 1) * self.ds] = self.codebooks[s][codes[:, s]]
+        return out
+
+
+@partial(jax.jit, static_argnames=("metric_kind",))
+def pq_scores(
+    q: jnp.ndarray,  # (B, D) f32 (D = M*Ds)
+    codes: jnp.ndarray,  # (N, M) int32
+    codebooks: jnp.ndarray,  # (M, 256, Ds)
+    row_sq: jnp.ndarray,  # (N,) reconstructed squared norms
+    metric_kind: str,
+):
+    """ADC scan: build the (M, 256) LUT of per-subspace partial IPs with one
+    batched matmul, then gather-sum per row."""
+    b, d = q.shape
+    m, k, ds = codebooks.shape
+    q_sub = q.reshape(b, m, ds)
+    # LUT[b, m, k] = <q_sub[b,m], codebook[m,k]>
+    lut = jnp.einsum("bms,mks->bmk", q_sub, codebooks, preferred_element_type=jnp.float32)
+    # gather-sum: scores[b, n] = sum_m LUT[b, m, codes[n, m]]
+    def per_query(lut_q):
+        gathered = jnp.take_along_axis(lut_q.T, codes.astype(jnp.int32), axis=0)  # (N, M)
+        return jnp.sum(gathered, axis=-1)
+
+    ip = jax.lax.map(per_query, lut)
+    if metric_kind == "ip":
+        return ip
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    if metric_kind == "l2":
+        return jnp.maximum(q_sq + row_sq[None, :] - 2.0 * ip, 0.0)
+    denom = jnp.sqrt(q_sq * row_sq[None, :])
+    return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))

@@ -479,6 +479,137 @@ class LocalCollection:
         iids = self._engine.external_to_internal(eids)
         return [self._engine.fields.retrieve(i) if i is not None else {} for i in iids]
 
+    def _finish_search(self, result, *, return_fields, reranker, rerank_k,
+                       rerank_with_fields, query) -> ResultView:
+        need_fields = should_fetch_fields(
+            return_fields=return_fields, reranker=reranker, rerank_with_fields=rerank_with_fields
+        )
+        ids, raw_fields = self._map_and_fields(result.ids, need_fields)
+        out_ids, distances, reranked_fields = apply_external_rerank(
+            ids=ids,
+            scores=result.distances,
+            fields=raw_fields if need_fields else [],
+            reranker=reranker,
+            query=query,
+            rerank_k=rerank_k,
+        )
+        return ResultView(
+            ids=out_ids,
+            distances=distances,
+            fields=reranked_fields if return_fields else [],
+            k=len(out_ids),
+            distance=result.distance_metric,
+            index=result.index_type,
+            result_type="search",
+        )
+
+    def add_sparse_vectors(self, vectors, ids) -> dict:
+        """Attach sparse feature vectors to existing IDs."""
+        eids, _ = normalize_external_ids(ids)
+        self._engine.add_sparse_vectors(eids, vectors)
+        self.COMMIT_FLAG = False
+        return {"status": "success"}
+
+    def search_sparse(
+        self,
+        vector,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        return_fields: bool = False,
+        reranker: Optional[Callable[[Dict[str, Any]], Any]] = None,
+        rerank_k: Optional[int] = None,
+        rerank_with_fields: bool = True,
+    ) -> ResultView:
+        """Sparse vector search using inner product."""
+        result = self._engine.search_sparse(vector, k=k, where=where)
+        return self._finish_search(
+            result,
+            return_fields=return_fields,
+            reranker=reranker,
+            rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={"type": "sparse_search", "vector": vector, "where": where},
+        )
+
+    def bm25_search(
+        self,
+        text: str,
+        k: int = 10,
+        *,
+        text_fields: Optional[List[str]] = None,
+        where: Optional[str] = None,
+        return_fields: bool = False,
+        reranker: Optional[Callable[[Dict[str, Any]], Any]] = None,
+        rerank_k: Optional[int] = None,
+        rerank_with_fields: bool = True,
+    ) -> ResultView:
+        """BM25 keyword search over metadata fields."""
+        result = self._engine.text_search(text, k=k, text_fields=text_fields, where=where)
+        return self._finish_search(
+            result,
+            return_fields=return_fields,
+            reranker=reranker,
+            rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={"type": "bm25_search", "text": text, "text_fields": text_fields, "where": where},
+        )
+
+    def hybrid_search(
+        self,
+        vector=None,
+        text: Optional[str] = None,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        text_fields: Optional[List[str]] = None,
+        fusion: str = "rrf",
+        vector_weight: float = 1.0,
+        text_weight: float = 1.0,
+        rrf_k: float = 60.0,
+        candidate_limit: Optional[int] = None,
+        nprobe: int = 10,
+        return_fields: bool = False,
+        reranker: Optional[Callable[[Dict[str, Any]], Any]] = None,
+        rerank_k: Optional[int] = None,
+        rerank_with_fields: bool = True,
+    ) -> ResultView:
+        """Hybrid vector + BM25 text search with RRF or weighted fusion."""
+        vec = None if vector is None else np.ascontiguousarray(vector, dtype=np.float32).ravel()
+        result = self._engine.hybrid_search(
+            vector=vec,
+            query_text=text,
+            k=k,
+            where=where,
+            text_fields=text_fields,
+            fusion=fusion,
+            vector_weight=vector_weight,
+            text_weight=text_weight,
+            rrf_k=rrf_k,
+            candidate_limit=candidate_limit or 0,
+            nprobe=nprobe,
+        )
+        return self._finish_search(
+            result,
+            return_fields=return_fields,
+            reranker=reranker,
+            rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={
+                "type": "hybrid_search",
+                "vector": None if vec is None else vec.tolist(),
+                "text": text,
+                "text_fields": text_fields,
+                "where": where,
+                "fusion": fusion,
+                "vector_weight": float(vector_weight),
+                "text_weight": float(text_weight),
+                "rrf_k": float(rrf_k),
+                "candidate_limit": candidate_limit,
+                "nprobe": nprobe,
+            },
+        )
+
     def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10) -> dict:
         result = self._engine.search(vector, k=k, where=where, nprobe=nprobe, profile=True)
         return result.profile
@@ -508,6 +639,33 @@ class LocalCollection:
                 ResultView(
                     ids=ids,
                     distances=res.distances[b],
+                    fields=fields if return_fields else [],
+                    k=len(ids),
+                    distance=res.distance_metric,
+                    index=res.index_type,
+                    result_type="search",
+                )
+            )
+        return out
+
+    def search_stream(
+        self,
+        vectors,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        window: int = 8,
+        return_fields: bool = False,
+    ) -> List[ResultView]:
+        """Pipelined per-query search stream (throughput-oriented serving)."""
+        results = self._engine.search_stream(vectors, k, where=where, window=window)
+        out = []
+        for res in results:
+            ids, fields = self._map_and_fields(res.ids, return_fields)
+            out.append(
+                ResultView(
+                    ids=ids,
+                    distances=res.distances,
                     fields=fields if return_fields else [],
                     k=len(ids),
                     distance=res.distance_metric,

@@ -53,6 +53,20 @@ def should_use_exact_filtered_search(subset: int, total: int) -> bool:
     return subset <= EXACT_FILTER_MAX_ROWS and subset * 4 <= total
 
 
+def _normalize_scores(scores: np.ndarray, ascending: bool) -> np.ndarray:
+    """Min-max normalize to [0,1] with 1 = most similar
+    (reference: engine.rs:7184 normalize_scores)."""
+    scores = np.asarray(scores, dtype=np.float32)
+    if scores.size == 0:
+        return scores
+    finite = scores[np.isfinite(scores)]
+    if finite.size == 0 or abs(float(finite.max()) - float(finite.min())) <= np.finfo(np.float32).eps:
+        return np.ones_like(scores)
+    lo, hi = float(finite.min()), float(finite.max())
+    norm = np.clip((scores - lo) / (hi - lo), 0.0, 1.0)
+    return 1.0 - norm if ascending else norm
+
+
 @dataclass
 class SearchResult:
     ids: np.ndarray  # internal row ids
@@ -278,8 +292,8 @@ class Collection:
             self.wal.log_add(iids, vectors, eids, fields)
             field_list = fields if fields is not None else [None] * n
             self.fields.batch_store_at(iids, field_list)
-            for e, i in zip(eids, iids):
-                self.idmap.insert(e, i)
+            self._text_upsert(iids, field_list)
+            self.idmap.insert_many(eids, start)
             self._pending.append(vectors)
             self._pending_rows += n
             self._pending_bytes += vectors.nbytes
@@ -348,6 +362,7 @@ class Collection:
                     self._write_row(iid, row)
                     if f is not None:
                         self.fields.store_at(iid, f)
+                        self._text_upsert([iid], [f])
                     self.tombstones.set(iid, False)
                 self._tombs_dirty = True
             if new_eids:
@@ -368,6 +383,7 @@ class Collection:
             self.wal.append(KIND_FIELD_UPDATE, {"iids": iids, "fields": flist})
             for iid, f in zip(iids, flist):
                 self.fields.update_at(iid, f)
+                self._text_upsert([iid], [self.fields.retrieve(iid) or None])
             return len(iids)
 
     def delete_items(self, external_ids) -> int:
@@ -417,9 +433,14 @@ class Collection:
             self._flush_pending()
             self.store.checkpoint(fsync=False)
             self._save_tombstones()
+            self._save_text()
+            if self._sparse is not None:
+                self._sparse.save()
             self.wal.cleanup()
             if self._index is not None:
                 self._index.on_commit(self)
+            if self._aux_index is not None:
+                self._aux_index.on_commit(self)
 
     def checkpoint(self) -> None:
         """Fsync'd durable barrier + log compaction (engine.rs:4435)."""
@@ -430,9 +451,14 @@ class Collection:
             self.fields.checkpoint()
             self.idmap.checkpoint()
             self._save_tombstones()
+            self._save_text()
+            if self._sparse is not None:
+                self._sparse.save()
             self.wal.cleanup()
             if self._index is not None:
                 self._index.on_commit(self)
+            if self._aux_index is not None:
+                self._aux_index.on_commit(self)
 
     def flush(self) -> None:
         with self._lock:
@@ -633,6 +659,48 @@ class Collection:
                 profile=prof,
             )
 
+    def search_stream(
+        self,
+        vectors,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        window: int = 8,
+    ) -> list[SearchResult]:
+        """Pipelined single-query stream over the flat scan path: keeps up to
+        ``window`` searches in flight so per-query cost approaches device
+        time rather than host-sync round trips. Falls back to sequential
+        searches when an ANN/aux index is active."""
+        q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
+        if self._index is not None or self._aux_index is not None or self.n_rows == 0:
+            return [self.search(q[i], k, where=where) for i in range(len(q))]
+        with self._lock:
+            metric = self.metric
+            mask = self.resolve_filter(where)
+            corpus = self.corpus()
+            pending = []
+            results: list[SearchResult] = []
+
+            def drain_one():
+                resolve = pending.pop(0)
+                dists, ids = resolve()
+                results.append(
+                    SearchResult(
+                        ids=ids[0],
+                        distances=dists[0],
+                        distance_metric=metric.display_name,
+                        index_type=self.index_type,
+                    )
+                )
+
+            for i in range(len(q)):
+                pending.append(corpus.search_submit(q[i : i + 1], k, metric, filter_mask=mask))
+                if len(pending) > window:
+                    drain_one()
+            while pending:
+                drain_one()
+            return results
+
     def search_range(self, vector, threshold: float, max_results: int = 1000, where=None):
         with self._lock:
             q = np.asarray(vector, dtype=np.float32).reshape(-1)
@@ -746,6 +814,26 @@ class Collection:
             self._reset_device()
             if self._index is not None:
                 self._index.rebuild(self)
+            if self._aux_index is not None:
+                self._aux_index.rebuild(self)
+            # remap sparse rows; rebuild the text index from remapped fields
+            if self._sparse is None and (self.root / "sparse.msgpack").exists():
+                self.sparse()
+            if self._sparse is not None and not self._sparse.is_empty():
+                old = dict(self._sparse._rows)
+                self._sparse._rows = {
+                    int(mapping[iid]): rows
+                    for iid, rows in old.items()
+                    if iid < len(mapping) and mapping[iid] >= 0
+                }
+                self._sparse._csr = None
+                self._sparse.save()
+            if self._text is not None or (self.root / "text_index.msgpack").exists():
+                self._text = None
+                (self.root / "text_index.msgpack").unlink(missing_ok=True)
+                (self.root / "text_index.rows").unlink(missing_ok=True)
+                self.text()  # rebuild from remapped fields
+                self._save_text()
             return reclaimed
 
     def stats(self) -> dict:
@@ -875,3 +963,131 @@ class Collection:
         sub = self.vector_field(field_name)
         sub.upsert_items(vectors, external_ids)
         sub.commit()
+
+    # ── sparse vectors (reference: engine.rs:556-755, 4964) ─────────────
+
+    def sparse(self):
+        if self._sparse is None:
+            from .sparse import SparseVectorStore
+
+            self._sparse = SparseVectorStore(self.root / "sparse.msgpack")
+        return self._sparse
+
+    def add_sparse_vectors(self, external_ids, sparse_vectors) -> None:
+        self._check_writable()
+        with self._lock:
+            iids = []
+            for e in external_ids:
+                iid = self.idmap.get_internal(e)
+                if iid is None:
+                    raise InvalidArgument(f"id not found: {e!r}")
+                iids.append(iid)
+            store = self.sparse()
+            store.upsert_many(iids, sparse_vectors)
+            store.save()
+
+    def search_sparse(self, query, k: int = 10, where: Optional[str] = None) -> SearchResult:
+        with self._lock:
+            allowed = None
+            if where:
+                mask = self.fields.query_mask(where)
+                allowed = set(np.nonzero(mask)[0].tolist())
+            ranked = self.sparse().search(query, k, allowed_iids=allowed, tombstones=self.tombstones)
+            return SearchResult(
+                ids=np.array([i for i, _ in ranked], dtype=np.int64),
+                distances=np.array([s for _, s in ranked], dtype=np.float32),
+                distance_metric="IP",
+                index_type="SPARSE-FLAT-IP",
+            )
+
+    # ── BM25 text search (reference: engine.rs:756-1560, 5060) ──────────
+
+    def text(self):
+        if self._text is None:
+            from .text_index import InvertedTextIndex
+
+            self._text = InvertedTextIndex(self.root / "text_index.msgpack")
+            meta_path = self.root / "text_index.rows"
+            indexed = int(meta_path.read_text()) if meta_path.exists() else 0
+            n = self.n_rows
+            if indexed < n:
+                for iid in range(indexed, n):
+                    self._text.upsert_document(iid, self.fields.retrieve(iid) or None)
+        return self._text
+
+    def _text_upsert(self, iids, field_list) -> None:
+        """Keep the text index current when it has been materialized."""
+        if self._text is not None:
+            for iid, f in zip(iids, field_list):
+                self._text.upsert_document(iid, f)
+
+    def _save_text(self) -> None:
+        if self._text is not None:
+            self._text.save()
+            (self.root / "text_index.rows").write_text(str(self.n_rows))
+
+    def text_search(self, query_text: str, k: int = 10, *, text_fields=None,
+                    where: Optional[str] = None) -> SearchResult:
+        with self._lock:
+            allowed = None
+            if where:
+                mask = self.fields.query_mask(where)
+                allowed = set(np.nonzero(mask)[0].tolist())
+            ranked = self.text().search(
+                query_text, text_fields, k, allowed_iids=allowed, tombstones=self.tombstones
+            )
+            return SearchResult(
+                ids=np.array([i for i, _ in ranked], dtype=np.int64),
+                distances=np.array([s for _, s in ranked], dtype=np.float32),
+                distance_metric="BM25",
+                index_type="BM25-INVERTED",
+            )
+
+    # ── hybrid fusion (reference: engine.rs:5079 hybrid_search) ─────────
+
+    def hybrid_search(
+        self,
+        vector=None,
+        query_text: Optional[str] = None,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        text_fields=None,
+        fusion: str = "rrf",
+        vector_weight: float = 1.0,
+        text_weight: float = 1.0,
+        rrf_k: float = 60.0,
+        candidate_limit: int = 0,
+        nprobe: int = 10,
+    ) -> SearchResult:
+        if vector is None and (query_text is None or not str(query_text).strip()):
+            raise InvalidArgument("hybrid_search requires a vector, text, or both")
+        candidate_limit = max(candidate_limit, k, 1)
+        fused: dict[int, float] = {}
+
+        def add_scores(ids, scores, weight):
+            weight = max(float(weight), 0.0)
+            use_weighted = fusion.lower() == "weighted"
+            for rank, iid in enumerate(ids):
+                if use_weighted:
+                    contribution = (scores[rank] if rank < len(scores) else 0.0) * weight
+                else:
+                    contribution = weight / (max(rrf_k, 1.0) + rank + 1.0)
+                fused[int(iid)] = fused.get(int(iid), 0.0) + contribution
+
+        if vector is not None:
+            vres = self.search(vector, candidate_limit, where=where, nprobe=nprobe)
+            add_scores(vres.ids, _normalize_scores(vres.distances, self.metric.ascending),
+                       vector_weight)
+        if query_text and str(query_text).strip():
+            tres = self.text_search(query_text, candidate_limit, text_fields=text_fields, where=where)
+            add_scores(tres.ids, _normalize_scores(tres.distances, False), text_weight)
+
+        ranked = sorted(fused.items(), key=lambda p: (-p[1], p[0]))[:k]
+        mode = "HYBRID-WEIGHTED" if fusion.lower() == "weighted" else "HYBRID-RRF"
+        return SearchResult(
+            ids=np.array([i for i, _ in ranked], dtype=np.int64),
+            distances=np.array([s for _, s in ranked], dtype=np.float32),
+            distance_metric=mode.split("-")[1],
+            index_type=mode,
+        )

@@ -73,8 +73,9 @@ def flat_topk(
         return masked_top_k(scores, k_eff, ascending, valid)
 
     kc = min(k_eff, chunk)
-    ct_chunks = jax.tree.map(lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), ct)
-    valid_chunks = valid.reshape(n_chunks, chunk)
+    n_main = n_chunks * chunk
+    ct_main = jax.tree.map(lambda a: a[:n_main].reshape((n_chunks, chunk) + a.shape[1:]), ct)
+    valid_main = valid[:n_main].reshape(n_chunks, chunk)
     bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
 
     def body(operand):
@@ -83,11 +84,18 @@ def flat_topk(
         d, i = masked_top_k(scores, kc, ascending, valid_c)
         return d, (i + base[0]).astype(jnp.int32)
 
-    dists, ids = jax.lax.map(body, (ct_chunks, valid_chunks, bases))
+    dists, ids = jax.lax.map(body, (ct_main, valid_main, bases))
     b = dists.shape[1]
     # (n_chunks, B, kc) -> (B, n_chunks*kc)
     dists = jnp.moveaxis(dists, 0, 1).reshape(b, n_chunks * kc)
     ids = jnp.moveaxis(ids, 0, 1).reshape(b, n_chunks * kc)
+
+    if n_main < n_pad:  # remainder tail, scanned single-shot
+        ct_tail = jax.tree.map(lambda a: a[n_main:], ct)
+        scores = D.pairwise(qt, ct_tail, metric)
+        d_t, i_t = masked_top_k(scores, min(k_eff, n_pad - n_main), ascending, valid[n_main:])
+        dists = jnp.concatenate([dists, d_t], axis=1)
+        ids = jnp.concatenate([ids, (i_t + n_main).astype(jnp.int32)], axis=1)
     return merge_top_k(dists, ids, k_eff, ascending)
 
 
@@ -96,20 +104,58 @@ def flat_scores(qt: dict, ct: dict, valid: jnp.ndarray, *, metric: Metric, chunk
     """Full (B, N_pad) score matrix with invalid rows as NaN — used by
     range search and exact rescoring paths."""
     n_pad = valid.shape[0]
-    n_chunks = max(n_pad // chunk, 1)
+    n_chunks = n_pad // chunk
     if n_chunks <= 1:
         scores = D.pairwise(qt, ct, metric)
         return jnp.where(valid[None, :], scores, jnp.nan)
-    ct_chunks = jax.tree.map(lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), ct)
-    valid_chunks = valid.reshape(n_chunks, chunk)
+    n_main = n_chunks * chunk
+    ct_main = jax.tree.map(lambda a: a[:n_main].reshape((n_chunks, chunk) + a.shape[1:]), ct)
+    valid_main = valid[:n_main].reshape(n_chunks, chunk)
 
     def body(operand):
         ct_c, valid_c = operand
         scores = D.pairwise(qt, ct_c, metric)
         return jnp.where(valid_c[None, :], scores, jnp.nan)
 
-    out = jax.lax.map(body, (ct_chunks, valid_chunks))
-    return jnp.moveaxis(out, 0, 1).reshape(out.shape[1], n_pad)
+    out = jax.lax.map(body, (ct_main, valid_main))
+    out = jnp.moveaxis(out, 0, 1).reshape(out.shape[1], n_main)
+    if n_main < n_pad:
+        ct_tail = jax.tree.map(lambda a: a[n_main:], ct)
+        scores = D.pairwise(qt, ct_tail, metric)
+        tail = jnp.where(valid[None, n_main:], scores, jnp.nan)
+        out = jnp.concatenate([out, tail], axis=1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "chunk", "ascending"))
+def flat_search_step(
+    q: jnp.ndarray,
+    ct: dict,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    chunk: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    """Fully-fused single-dispatch search: raw queries in, one packed f32
+    array out — (B, 2*k') with distances in [:, :k'] and row ids bitcast into
+    [:, k':]. One dispatch + one host fetch per search keeps per-query
+    overhead at the transport floor (the remote-TPU relay charges ~30 ms per
+    host sync regardless of work, so fusing matters more than FLOPs here)."""
+    qt = D.query_transform(q, metric)
+    dists, ids = flat_topk(qt, ct, valid, metric=metric, k=k, chunk=chunk, ascending=ascending)
+    ids_f = jax.lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32)
+    return jnp.concatenate([dists, ids_f], axis=-1)
+
+
+def unpack_search_step(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side decode of flat_search_step output."""
+    packed = np.asarray(packed)
+    k = packed.shape[-1] // 2
+    dists = packed[:, :k].astype(np.float32)
+    ids = packed[:, k:].view(np.int32).astype(np.int64)
+    return dists, ids
 
 
 @partial(jax.jit, static_argnames=("metric",))
@@ -237,6 +283,36 @@ class DeviceCorpus:
 
     # ── search entry points ──────────────────────────────────────────────
 
+    def search_submit(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metric: Metric,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Asynchronously dispatch a fused search; returns a zero-arg
+        resolver. Dispatch is async under JAX — calling the resolver
+        performs the single host sync. Enables pipelined query streams."""
+        if self.n == 0:
+            b = np.atleast_2d(np.asarray(queries)).shape[0]
+            empty = (np.zeros((b, 0), dtype=np.float32), np.zeros((b, 0), dtype=np.int64))
+            return lambda: empty
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        ct = self.transform(metric)
+        valid = self.valid_mask(filter_mask)
+        chunk = scan_chunk_size(metric, self.n_pad)
+        packed = flat_search_step(
+            q, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
+        )
+
+        def resolve():
+            dists, ids = unpack_search_step(packed)
+            keyed = -dists if metric.ascending else dists
+            keep = keyed > -np.inf
+            return _trim_results(dists, ids, keep, k)
+
+        return resolve
+
     def search(
         self,
         queries: np.ndarray,
@@ -244,28 +320,9 @@ class DeviceCorpus:
         metric: Metric,
         filter_mask: Optional[np.ndarray] = None,
     ):
-        """Top-k scan. Returns host numpy (dists (B,k'), row_ids (B,k'),
-        valid_count_mask) with invalid entries marked by oriented -inf."""
-        if self.n == 0:
-            b = np.atleast_2d(np.asarray(queries)).shape[0]
-            return (
-                np.zeros((b, 0), dtype=np.float32),
-                np.zeros((b, 0), dtype=np.int64),
-            )
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
-        qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
-        ct = self.transform(metric)
-        valid = self.valid_mask(filter_mask)
-        chunk = scan_chunk_size(metric, self.n_pad)
-        dists, ids = flat_topk(
-            qt, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
-        )
-        dists = np.asarray(dists)
-        ids = np.asarray(ids, dtype=np.int64)
-        # Trim rows that came back invalid (oriented key == -inf).
-        keyed = -dists if metric.ascending else dists
-        keep = keyed > -np.inf
-        return _trim_results(dists, ids, keep, k)
+        """Top-k scan: one fused device dispatch + one host fetch. Returns
+        (dists (B,k'), row_ids (B,k')) trimmed of invalid entries."""
+        return self.search_submit(queries, k, metric, filter_mask)()
 
     def range_search(
         self,

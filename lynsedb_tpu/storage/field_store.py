@@ -58,10 +58,11 @@ class FieldStore(ColumnProvider):
                 self._apply(op, iid, fields)
                 pos += _REC.size + blen
 
-    def _append_log(self, op: int, iid: int, fields: Optional[dict]) -> None:
+    def _append_log(self, op: int, iid: int, fields: Optional[dict], flush: bool = True) -> None:
         body = msgpack.packb([iid, fields], use_bin_type=True)
         self._log_fh.write(_REC.pack(op, len(body), zlib.crc32(body)) + body)
-        self._log_fh.flush()
+        if flush:
+            self._log_fh.flush()
 
     def _apply(self, op: int, iid: int, fields: Optional[dict]) -> None:
         while len(self._rows) <= iid:
@@ -94,9 +95,15 @@ class FieldStore(ColumnProvider):
         self._invalidate()
 
     def batch_store_at(self, iids, field_list) -> None:
+        dirty = False
         for iid, fields in zip(iids, field_list):
             self._apply(_OP_SET, iid, fields)
-            self._append_log(_OP_SET, iid, fields)
+            if fields is not None:
+                # None rows need no log record — absent rows read back as {}
+                self._append_log(_OP_SET, iid, fields, flush=False)
+                dirty = True
+        if dirty:
+            self._log_fh.flush()
         self._invalidate()
 
     def replace_at(self, iid: int, fields: Optional[dict]) -> None:

@@ -65,10 +65,11 @@ class IdMap:
                     self._rev.pop(iid, None)
                 pos += _REC.size + blen
 
-    def _log(self, op: int, eid, iid: int) -> None:
+    def _log(self, op: int, eid, iid: int, flush: bool = True) -> None:
         body = msgpack.packb([op, eid, iid], use_bin_type=True)
         self._log_fh.write(_REC.pack(len(body), zlib.crc32(body)) + body)
-        self._log_fh.flush()
+        if flush:
+            self._log_fh.flush()
 
     # ── API ──────────────────────────────────────────────────────────────
 
@@ -77,6 +78,16 @@ class IdMap:
         self._fwd[eid] = iid
         self._rev[iid] = eid
         self._log(0, eid, iid)
+
+    def insert_many(self, eids, start_iid: int) -> None:
+        """Bulk insert of contiguous internal ids; one buffered flush."""
+        for off, eid in enumerate(eids):
+            eid = normalize_external_id(eid)
+            iid = start_iid + off
+            self._fwd[eid] = iid
+            self._rev[iid] = eid
+            self._log(0, eid, iid, flush=False)
+        self._log_fh.flush()
 
     def remove(self, eid) -> None:
         iid = self._fwd.pop(eid, None)

@@ -99,6 +99,19 @@ def test_chunked_scan_matches_single_shot(rng):
     np.testing.assert_allclose(np.asarray(d_multi), np.asarray(d_one), rtol=1e-6)
 
 
+def test_chunked_scan_with_remainder_tail(rng):
+    # n_pad not a multiple of chunk (regression: 123 blocks vs 16-block chunks)
+    n, d, k = 5 * 512 + 256, 16, 11
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    qt = D.query_transform(jnp.asarray(q), Metric.IP)
+    ct = D.corpus_transform(jnp.asarray(x), Metric.IP)
+    valid = jnp.ones(n, dtype=bool)
+    d_multi, i_multi = flat_topk(qt, ct, valid, metric=Metric.IP, k=k, chunk=512, ascending=False)
+    want = _brute_topk(q, x, Metric.IP, k)
+    np.testing.assert_array_equal(np.asarray(i_multi), want)
+
+
 def test_range_search(rng):
     d = 8
     x = rng.normal(size=(200, d)).astype(np.float32)

@@ -1,0 +1,621 @@
+"""Remote-mode client: RemoteSession + HTTPClient + remote Collection.
+
+API twin of the local client over HTTP (reference:
+python/lynse/api/http_api/client_api.py:126 HTTPClient / :590 Collection,
+utils/poster.py RustRemoteSession). JSON wire format with the
+``{"status": "success", "params": {...}}`` envelope.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import requests
+
+from ..result_view import ResultView, _parse_index_mode
+from .embedding import embed_documents
+from .records import normalize_external_ids, normalize_fields, validate_unique_external_ids
+from .rerank import apply_external_rerank, should_fetch_fields
+
+
+class ExecutionError(RuntimeError):
+    pass
+
+
+class RemoteSession:
+    def __init__(self, base_url: str, api_key: Optional[str] = None, timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._session = requests.Session()
+        if api_key:
+            self._session.headers["Authorization"] = f"Bearer {api_key}"
+
+    def get(self, endpoint: str, **kwargs):
+        return self._session.get(self.base_url + endpoint, timeout=self.timeout, **kwargs)
+
+    def post(self, endpoint: str, json=None, **kwargs):
+        resp = self._session.post(
+            self.base_url + endpoint, json=json or {}, timeout=self.timeout, **kwargs
+        )
+        resp.raise_for_error = lambda: _raise_on_error(resp)
+        return resp
+
+    def close(self):
+        self._session.close()
+
+
+def _raise_on_error(resp):
+    if resp.status_code != 200:
+        try:
+            msg = resp.json().get("error", f"server error {resp.status_code}")
+        except Exception:
+            msg = f"server error {resp.status_code}"
+        raise ExecutionError(msg)
+    return resp
+
+
+def _id_array(ids: list) -> np.ndarray:
+    arr = np.array(ids, dtype=object)
+    try:
+        return arr.astype(np.int64)
+    except (TypeError, ValueError, OverflowError):
+        return arr
+
+
+class HTTPClient:
+    """Remote database handle."""
+
+    def __init__(self, session: RemoteSession, database_name: str):
+        self._session = session
+        self.database_name = database_name
+
+    def _post(self, endpoint: str, data: dict) -> dict:
+        payload = {"database_name": self.database_name, **data}
+        resp = _raise_on_error(self._session.post(endpoint, json=payload))
+        return resp.json().get("params") or {}
+
+    def require_collection(
+        self,
+        collection: str,
+        dim: int = None,
+        n_threads=10,
+        warm_up: bool = False,
+        drop_if_exists: bool = False,
+        description: str = None,
+        dtypes: str = "float32",
+        default_index: Optional[str] = "FLAT-IP",
+    ) -> "Collection":
+        self._post(
+            "/required_collection",
+            {
+                "collection_name": collection,
+                "dim": dim,
+                "drop_if_exists": drop_if_exists,
+                "description": description,
+                "dtypes": dtypes,
+            },
+        )
+        return Collection(self, collection, default_index=default_index)
+
+    def get_collection(self, collection: str, warm_up: bool = True) -> "Collection":
+        exists = self._post("/is_collection_exists", {"collection_name": collection})["exists"]
+        if not exists:
+            raise ValueError(f"collection not found: {collection!r}")
+        return Collection(self, collection, default_index=None)
+
+    def drop_collection(self, collection: str) -> None:
+        self._post("/drop_collection", {"collection_name": collection})
+
+    def show_collections(self) -> list:
+        return self._post("/show_collections", {})["collections"]
+
+    def show_collections_details(self) -> dict:
+        return self._post("/show_collections_details", {})["collections"]
+
+    def update_collection_description(self, collection: str, description: str) -> None:
+        self._post(
+            "/update_collection_description",
+            {"collection_name": collection, "description": description},
+        )
+
+    def snapshot_collection(self, collection: str, snapshot_path) -> None:
+        self._post(
+            "/snapshot_collection",
+            {"collection_name": collection, "snapshot_path": str(snapshot_path)},
+        )
+
+    def export_collection(self, collection: str, export_path) -> None:
+        self._post(
+            "/export_collection",
+            {"collection_name": collection, "export_path": str(export_path)},
+        )
+
+    def restore_collection(self, snapshot_path, collection: str) -> "Collection":
+        self._post(
+            "/restore_collection",
+            {"collection_name": collection, "snapshot_path": str(snapshot_path)},
+        )
+        return self.get_collection(collection, warm_up=False)
+
+    def import_collection(self, export_path, collection: str) -> "Collection":
+        self._post(
+            "/import_collection",
+            {"collection_name": collection, "export_path": str(export_path)},
+        )
+        return self.get_collection(collection, warm_up=False)
+
+    def snapshot_database(self, snapshot_path) -> None:
+        self._post("/snapshot_database", {"snapshot_path": str(snapshot_path)})
+
+    def drop_database(self) -> None:
+        self._post("/drop_database", {})
+
+    def database_exists(self) -> bool:
+        return self._post("/database_exists", {})["exists"]
+
+    def __repr__(self):
+        return f"HTTPClient(database={self.database_name!r})"
+
+
+class Collection:
+    """Remote collection handle mirroring LocalCollection."""
+
+    def __init__(self, client: HTTPClient, name: str, default_index: Optional[str] = "FLAT-IP"):
+        self._client = client
+        self.name = name
+        self._default_index = default_index
+        self.COMMIT_FLAG = True
+
+    def _post(self, endpoint: str, data: dict) -> dict:
+        return self._client._post(endpoint, {"collection_name": self.name, **data})
+
+    # ── meta ─────────────────────────────────────────────────────────────
+
+    @property
+    def shape(self) -> tuple:
+        return tuple(self._post("/collection_shape", {})["shape"])
+
+    @property
+    def index_mode(self) -> Optional[str]:
+        return self._post("/index_mode", {})["index_mode"]
+
+    def stats(self) -> dict:
+        return self._post("/stats", {})
+
+    def list_fields(self) -> list:
+        return self._post("/list_fields", {})["fields"]
+
+    def max_id(self) -> int:
+        return self._post("/max_id", {})["max_id"]
+
+    def is_id_exists(self, id) -> bool:
+        return self._post("/is_id_exists", {"id": id})["exists"]
+
+    def compact(self) -> int:
+        return self._post("/compact", {})["reclaimed"]
+
+    def update_description(self, description: str) -> None:
+        self._post("/update_description", {"description": description})
+
+    # ── writes ───────────────────────────────────────────────────────────
+
+    def _maybe_build_default_index(self):
+        if self._default_index and self.index_mode is None:
+            self.build_index(self._default_index)
+
+    def add(
+        self,
+        ids=None,
+        *,
+        vectors=None,
+        documents=None,
+        embed_func=None,
+        fields=None,
+        batch_size: int = 1000,
+        wire_dtype: str = "float32",
+    ):
+        del wire_dtype
+        from .records import attach_documents, normalize_documents
+
+        docs, _ = normalize_documents(documents) if documents is not None else (None, False)
+        if vectors is None:
+            if docs is None:
+                raise ValueError("add() requires vectors or documents")
+            vec = embed_documents(docs, embed_func=embed_func)
+        else:
+            vec = np.asarray(vectors, dtype=np.float32)
+            if vec.ndim == 1:
+                vec = vec.reshape(1, -1)
+        n = vec.shape[0]
+        single = False
+        if ids is not None:
+            eids, single = normalize_external_ids(ids)
+            validate_unique_external_ids(eids)
+            if len(eids) != n:
+                raise ValueError("ids length must match vectors")
+        else:
+            eids = None
+        field_list = attach_documents(normalize_fields(fields, n), docs)
+        has_fields = any(f is not None for f in field_list)
+
+        added = []
+        for i in range(0, n, batch_size):
+            j = min(i + batch_size, n)
+            data = {"vectors": vec[i:j].tolist()}
+            if eids is not None:
+                data["ids"] = eids[i:j]
+            if has_fields:
+                data["fields"] = field_list[i:j]
+            added.extend(self._post("/add", data)["ids"])
+        self._maybe_build_default_index()
+        self.COMMIT_FLAG = False
+        return added[0] if (single or (ids is None and n == 1)) else added
+
+    def upsert(self, ids, *, vectors=None, documents=None, embed_func=None, fields=None,
+               wire_dtype: str = "float32"):
+        del wire_dtype
+        from .records import attach_documents, normalize_documents, normalize_vectors
+
+        eids, single = normalize_external_ids(ids)
+        n = len(eids)
+        docs, _ = normalize_documents(documents, n) if documents is not None else (None, False)
+        if vectors is None:
+            if docs is None:
+                raise ValueError("upsert() requires vectors or documents")
+            vec = embed_documents(docs, embed_func=embed_func)
+        else:
+            vec = normalize_vectors(vectors, n)
+        field_list = attach_documents(normalize_fields(fields, n), docs)
+        out = self._post(
+            "/upsert",
+            {"ids": eids, "vectors": vec.tolist(),
+             "fields": field_list if any(f is not None for f in field_list) else None},
+        )["ids"]
+        self._maybe_build_default_index()
+        self.COMMIT_FLAG = False
+        return out[0] if single else out
+
+    def delete(self, ids) -> int:
+        eids, _ = normalize_external_ids(ids)
+        self.COMMIT_FLAG = False
+        return self._post("/delete", {"ids": eids})["deleted"]
+
+    def restore(self, ids) -> int:
+        eids, _ = normalize_external_ids(ids)
+        self.COMMIT_FLAG = False
+        return self._post("/restore", {"ids": eids})["restored"]
+
+    def list_deleted_ids(self) -> list:
+        return self._post("/list_deleted_ids", {})["ids"]
+
+    def update_fields(self, ids, fields) -> int:
+        eids, _ = normalize_external_ids(ids)
+        return self._post("/update_fields", {"ids": eids, "fields": fields})["updated"]
+
+    # ── durability ───────────────────────────────────────────────────────
+
+    def commit(self) -> None:
+        self._post("/commit", {})
+        self.COMMIT_FLAG = True
+
+    def flush(self) -> None:
+        self._post("/flush", {})
+
+    def checkpoint(self) -> None:
+        self._post("/checkpoint", {})
+        self.COMMIT_FLAG = True
+
+    def close(self) -> None:
+        self._post("/close_collection", {})
+
+    def snapshot_to(self, snapshot_path) -> None:
+        self._post("/snapshot_collection", {"snapshot_path": str(snapshot_path)})
+
+    def export_to(self, export_path) -> None:
+        self._post("/export_collection", {"export_path": str(export_path)})
+
+    # ── blobs ────────────────────────────────────────────────────────────
+
+    def write_blob(self, key: str, value: bytes) -> None:
+        import base64
+
+        self._post("/write_blob", {"key": key, "value": base64.b64encode(value).decode()})
+
+    def read_blob(self, key: str) -> Optional[bytes]:
+        resp = self._client._session.get(
+            "/read_blob",
+            params={
+                "database_name": self._client.database_name,
+                "collection_name": self.name,
+                "key": key,
+            },
+        )
+        if resp.status_code == 404:
+            return None
+        _raise_on_error(resp)
+        return resp.content
+
+    def read_blob_range(self, key: str, offset: int, length: int) -> Optional[bytes]:
+        resp = self._client._session.get(
+            "/read_blob",
+            params={
+                "database_name": self._client.database_name,
+                "collection_name": self.name,
+                "key": key,
+                "offset": offset,
+                "length": length,
+            },
+        )
+        if resp.status_code == 404:
+            return None
+        _raise_on_error(resp)
+        return resp.content
+
+    def delete_blob(self, key: str) -> bool:
+        return self._post("/delete_blob", {"key": key})["deleted"]
+
+    # ── index ────────────────────────────────────────────────────────────
+
+    def build_index(self, index_mode: str = "FLAT-IP", **kwargs) -> None:
+        self._post("/build_index", {"index_mode": index_mode, "params": kwargs or None})
+
+    def remove_index(self, field_name: str = "default") -> None:
+        if field_name == "default":
+            self._post("/remove_index", {})
+        else:
+            self._post("/remove_vector_field_index", {"field_name": field_name})
+
+    def create_vector_field(self, field_name: str, dim: int = None, metric: str = "ip",
+                            dtypes: str = "float32") -> None:
+        self._post(
+            "/create_vector_field",
+            {"field_name": field_name, "dim": dim, "metric": metric, "dtypes": dtypes},
+        )
+
+    def list_vector_fields(self) -> list:
+        return self._post("/list_vector_fields", {})["fields"]
+
+    def add_named_vectors(self, field_name: str, ids, vectors) -> None:
+        eids, _ = normalize_external_ids(ids)
+        self._post(
+            "/add_named_vectors",
+            {"field_name": field_name, "ids": eids, "vectors": np.asarray(vectors, dtype=np.float32).tolist()},
+        )
+        self.COMMIT_FLAG = False
+
+    def build_vector_field_index(self, field_name: str, index_mode: str = "FLAT-IP", **kwargs):
+        self._post(
+            "/build_vector_field_index",
+            {"field_name": field_name, "index_mode": index_mode, "params": kwargs or None},
+        )
+
+    def add_sparse_vectors(self, vectors, ids) -> dict:
+        eids, _ = normalize_external_ids(ids)
+        payload = [
+            {str(i): float(v) for i, v in (vec.items() if isinstance(vec, dict) else vec)}
+            for vec in vectors
+        ]
+        self._post("/add_sparse_vectors", {"ids": eids, "vectors": payload})
+        self.COMMIT_FLAG = False
+        return {"status": "success"}
+
+    # ── search ───────────────────────────────────────────────────────────
+
+    def _finish(self, items: dict, *, return_fields, reranker, rerank_k,
+                rerank_with_fields, query) -> ResultView:
+        ids = _id_array(items.get("ids", []))
+        dists = np.array(items.get("scores", []), dtype=np.float32)
+        fields = items.get("fields", [])
+        idx_type, metric = _parse_index_mode(items.get("index_mode"))
+        out_ids, out_d, out_f = apply_external_rerank(
+            ids=ids, scores=dists, fields=fields, reranker=reranker, query=query,
+            rerank_k=rerank_k,
+        )
+        return ResultView(
+            ids=out_ids,
+            distances=out_d,
+            fields=out_f if return_fields else [],
+            k=len(out_ids),
+            distance=metric,
+            index=idx_type,
+            result_type="search",
+        )
+
+    def search(
+        self,
+        vector=None,
+        k: int = 10,
+        *,
+        document: Optional[str] = None,
+        embed_func=None,
+        where: Optional[str] = None,
+        return_fields: bool = False,
+        vector_field: str = "default",
+        reranker: Optional[Callable[[Dict[str, Any]], Any]] = None,
+        rerank_k: Optional[int] = None,
+        rerank_with_fields: bool = False,
+        nprobe: int = 10,
+        approx: bool = False,
+        eps: float = 1e-4,
+        wire_dtype: str = "float32",
+    ) -> ResultView:
+        del wire_dtype
+        if (vector is None) == (document is None):
+            raise ValueError("search() requires exactly one of vector or document")
+        if document is not None:
+            vec = embed_documents([document], embed_func=embed_func)[0]
+        else:
+            vec = np.ascontiguousarray(vector, dtype=np.float32).ravel()
+        need_fields = should_fetch_fields(
+            return_fields=return_fields, reranker=reranker, rerank_with_fields=rerank_with_fields
+        )
+        items = self._post(
+            "/search",
+            {
+                "vector": vec.tolist(),
+                "vector_field": vector_field,
+                "k": k,
+                "where": where,
+                "return_fields": need_fields,
+                "nprobe": nprobe,
+                "approx": approx,
+                "eps": float(eps),
+            },
+        )["items"]
+        return self._finish(
+            items,
+            return_fields=return_fields,
+            reranker=reranker,
+            rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={
+                "type": "document_search" if document is not None else "vector_search",
+                "document": document,
+                "vector_field": vector_field,
+                "vector": vec.tolist(),
+                "where": where,
+                "nprobe": nprobe,
+                "approx": approx,
+                "eps": eps,
+            },
+        )
+
+    def batch_search(self, vectors, k: int = 10, *, where=None, return_fields: bool = False,
+                     nprobe: int = 10, approx: bool = False, eps: float = 1e-4,
+                     wire_dtype: str = "float32") -> List[ResultView]:
+        del wire_dtype
+        vec = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        out = self._post(
+            "/batch_search",
+            {"vectors": vec.tolist(), "k": k, "where": where,
+             "return_fields": return_fields, "nprobe": nprobe},
+        )["results"]
+        return [
+            self._finish(
+                items, return_fields=return_fields, reranker=None, rerank_k=None,
+                rerank_with_fields=False, query={"type": "vector_search"},
+            )
+            for items in out
+        ]
+
+    def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10) -> dict:
+        return self._post(
+            "/search_profile",
+            {"vector": np.asarray(vector, dtype=np.float32).ravel().tolist(), "k": k,
+             "where": where, "nprobe": nprobe},
+        )["profile"]
+
+    def bm25_search(self, text: str, k: int = 10, *, text_fields=None, where=None,
+                    return_fields: bool = False, reranker=None, rerank_k=None,
+                    rerank_with_fields: bool = True) -> ResultView:
+        items = self._post(
+            "/bm25_search",
+            {"text": text, "k": k, "text_fields": text_fields, "where": where,
+             "return_fields": should_fetch_fields(return_fields=return_fields,
+                                                  reranker=reranker,
+                                                  rerank_with_fields=rerank_with_fields)},
+        )["items"]
+        items.setdefault("index_mode", "BM25")
+        rv = self._finish(
+            items, return_fields=return_fields, reranker=reranker, rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={"type": "bm25_search", "text": text, "text_fields": text_fields, "where": where},
+        )
+        return rv
+
+    def search_sparse(self, vector, k: int = 10, *, where=None, return_fields: bool = False,
+                      reranker=None, rerank_k=None, rerank_with_fields: bool = True) -> ResultView:
+        payload = {str(i): float(v) for i, v in (vector.items() if isinstance(vector, dict) else vector)}
+        items = self._post(
+            "/sparse_search",
+            {"vector": payload, "k": k, "where": where,
+             "return_fields": should_fetch_fields(return_fields=return_fields,
+                                                  reranker=reranker,
+                                                  rerank_with_fields=rerank_with_fields)},
+        )["items"]
+        return self._finish(
+            items, return_fields=return_fields, reranker=reranker, rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={"type": "sparse_search", "vector": payload, "where": where},
+        )
+
+    def hybrid_search(self, vector=None, text=None, k: int = 10, *, where=None,
+                      text_fields=None, fusion: str = "rrf", vector_weight: float = 1.0,
+                      text_weight: float = 1.0, rrf_k: float = 60.0,
+                      candidate_limit=None, nprobe: int = 10, return_fields: bool = False,
+                      reranker=None, rerank_k=None, rerank_with_fields: bool = True) -> ResultView:
+        vec = None if vector is None else np.ascontiguousarray(vector, dtype=np.float32).ravel()
+        items = self._post(
+            "/hybrid_search",
+            {"vector": None if vec is None else vec.tolist(), "text": text, "k": k,
+             "where": where, "text_fields": text_fields, "fusion": fusion,
+             "vector_weight": vector_weight, "text_weight": text_weight, "rrf_k": rrf_k,
+             "candidate_limit": candidate_limit, "nprobe": nprobe,
+             "return_fields": should_fetch_fields(return_fields=return_fields,
+                                                  reranker=reranker,
+                                                  rerank_with_fields=rerank_with_fields)},
+        )["items"]
+        return self._finish(
+            items, return_fields=return_fields, reranker=reranker, rerank_k=rerank_k,
+            rerank_with_fields=rerank_with_fields,
+            query={"type": "hybrid_search", "text": text, "where": where, "fusion": fusion},
+        )
+
+    def search_range(self, vector, threshold, max_results: int = 1000, *, where=None) -> ResultView:
+        items = self._post(
+            "/search_range",
+            {"vector": np.asarray(vector, dtype=np.float32).ravel().tolist(),
+             "threshold": float(threshold), "max_results": max_results, "where": where},
+        )["items"]
+        return self._finish(
+            items, return_fields=False, reranker=None, rerank_k=None,
+            rerank_with_fields=False, query={"type": "range_search"},
+        )
+
+    # ── data queries ─────────────────────────────────────────────────────
+
+    def query(self, where=None, filter_ids=None, return_ids_only: bool = False):
+        params = self._post(
+            "/query",
+            {"where": where, "filter_ids": filter_ids, "return_ids_only": return_ids_only},
+        )
+        ids = _id_array(params.get("ids", []))
+        if return_ids_only:
+            return ids
+        return ResultView(ids=ids, fields=params.get("fields", []), result_type="query")
+
+    def query_vectors(self, where=None, filter_ids=None) -> ResultView:
+        params = self._post("/query_vectors", {"where": where, "filter_ids": filter_ids})
+        return ResultView(
+            ids=_id_array(params.get("ids", [])),
+            vectors=np.asarray(params.get("vectors", []), dtype=np.float32),
+            fields=params.get("fields", []),
+            result_type="data",
+        )
+
+    def head(self, n: int = 5) -> ResultView:
+        params = self._post("/head", {"n": n})
+        return ResultView(
+            ids=_id_array(params.get("ids", [])),
+            vectors=np.asarray(params.get("vectors", []), dtype=np.float32),
+            fields=params.get("fields", []),
+            result_type="data",
+        )
+
+    def tail(self, n: int = 5) -> ResultView:
+        params = self._post("/tail", {"n": n})
+        return ResultView(
+            ids=_id_array(params.get("ids", [])),
+            vectors=np.asarray(params.get("vectors", []), dtype=np.float32),
+            fields=params.get("fields", []),
+            result_type="data",
+        )
+
+    def insert_session(self, batch_size: int = 50_000):
+        from .session import DataInsertionSession
+
+        return DataInsertionSession(self, batch_size)
+
+    def __repr__(self):
+        return f"Collection(remote, name={self.name!r})"

@@ -1,0 +1,192 @@
+"""HTTP service tests: in-process background server driven through the
+remote VectorDBClient (mirrors the reference's docker_tests pattern of
+spawning a real server and driving it via HTTPClient)."""
+
+import numpy as np
+import pytest
+
+import lynsedb_tpu as lynse
+from lynsedb_tpu.server.app import BackgroundServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("server_root")
+    srv = BackgroundServer(str(root), port=0)
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def rclient(server):
+    c = lynse.VectorDBClient(server.url)
+    yield c
+    c.close()
+
+
+@pytest.fixture
+def rdb(rclient):
+    return rclient.create_database("http_db", drop_if_exists=True)
+
+
+def test_remote_roundtrip(rdb, rng):
+    coll = rdb.require_collection("c1", dim=8, drop_if_exists=True)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    ids = coll.add(list(range(1, 21)), vectors=vecs,
+                   fields=[{"idx": i, "group": "even" if i % 2 == 0 else "odd"}
+                           for i in range(1, 21)])
+    assert ids == list(range(1, 21))
+    coll.commit()
+    assert coll.shape == (20, 8)
+
+    res = coll.search(vecs[0], k=3, return_fields=True)
+    assert len(res.ids) == 3
+    assert res.distance_metric == "IP"
+    res = coll.search(vecs[0], k=20, where="group = 'even'")
+    assert all(i % 2 == 0 for i in res.ids.tolist())
+
+
+def test_remote_query_and_head(rdb, rng):
+    coll = rdb.require_collection("c2", dim=4, drop_if_exists=True)
+    coll.add([1, 2, 3], vectors=rng.normal(size=(3, 4)).astype(np.float32),
+             fields=[{"x": i} for i in (1, 2, 3)])
+    coll.commit()
+    q = coll.query(where="x >= 2")
+    assert sorted(q.ids.tolist()) == [2, 3]
+    h = coll.head(2)
+    assert h.ids.tolist() == [1, 2]
+    assert h.vectors.shape == (2, 4)
+    qv = coll.query_vectors(where="x = 1")
+    assert qv.vectors.shape == (1, 4)
+
+
+def test_remote_delete_upsert(rdb, rng):
+    coll = rdb.require_collection("c3", dim=4, drop_if_exists=True)
+    vecs = rng.normal(size=(5, 4)).astype(np.float32)
+    coll.add([1, 2, 3, 4, 5], vectors=vecs)
+    assert coll.delete([2]) == 1
+    assert coll.list_deleted_ids() == [2]
+    assert coll.restore([2]) == 1
+    coll.upsert([3], vectors=[np.ones(4, dtype=np.float32)], fields=[{"u": True}])
+    coll.commit()
+    res = coll.search(np.ones(4, dtype=np.float32), k=1, return_fields=True)
+    assert res.ids[0] == 3
+    assert res.fields[0]["u"] is True
+
+
+def test_remote_bm25_sparse_hybrid(rdb, rng):
+    coll = rdb.require_collection("c4", dim=4, drop_if_exists=True)
+    coll.add([1, 2], vectors=rng.normal(size=(2, 4)).astype(np.float32),
+             fields=[{"t": "alpha beta"}, {"t": "gamma delta"}])
+    coll.add_sparse_vectors([{1: 1.0}, {2: 2.0}], [1, 2])
+    coll.commit()
+    res = coll.bm25_search("gamma", k=5)
+    assert res.ids.tolist() == [2]
+    res = coll.search_sparse({2: 1.0}, k=5)
+    assert res.ids.tolist() == [2]
+    res = coll.hybrid_search(text="alpha", k=5)
+    assert res.ids.tolist()[0] == 1
+
+
+def test_remote_index_and_stats(rdb, rng):
+    coll = rdb.require_collection("c5", dim=16, drop_if_exists=True, default_index=None)
+    data = rng.normal(size=(500, 16)).astype(np.float32)
+    coll.add(list(range(500)), vectors=data)
+    coll.commit()
+    coll.build_index("IVF-L2", n_clusters=8)
+    assert coll.index_mode == "IVF-L2"
+    res = coll.search(data[7], k=1, nprobe=8)
+    assert res.ids[0] == 7
+    st = coll.stats()
+    assert st["rows"] == 500
+    coll.remove_index()
+    assert coll.index_mode.startswith("FLAT")
+
+
+def test_remote_blobs(rdb):
+    coll = rdb.require_collection("c6", dim=2, drop_if_exists=True)
+    coll.write_blob("k1", b"payload-bytes")
+    assert coll.read_blob("k1") == b"payload-bytes"
+    assert coll.read_blob_range("k1", 0, 7) == b"payload"
+    assert coll.delete_blob("k1") is True
+    assert coll.read_blob("missing") is None
+
+
+def test_remote_limits(server, rdb, rng):
+    coll = rdb.require_collection("c7", dim=4, drop_if_exists=True)
+    coll.add([1], vectors=[[1.0, 0, 0, 0]])
+    with pytest.raises(Exception):
+        coll.search([1.0, 0, 0, 0], k=999_999)
+
+
+def test_ops_endpoints(server):
+    import requests
+
+    assert requests.get(server.url + "/healthz").status_code == 200
+    assert requests.get(server.url + "/readyz").status_code == 200
+    metrics = requests.get(server.url + "/metrics").text
+    assert "lynse_http_requests_total" in metrics
+    assert "lynse_uptime_seconds" in metrics
+    spec = requests.get(server.url + "/openapi.json").json()
+    assert "/search" in spec["paths"]
+    # x-request-id propagation
+    r = requests.get(server.url + "/healthz", headers={"x-request-id": "req-42"})
+    assert r.headers["x-request-id"] == "req-42"
+
+
+def test_auth_required(tmp_path):
+    srv = BackgroundServer(str(tmp_path / "auth_root"), port=0, api_key="sekret")
+    try:
+        import requests
+
+        r = requests.get(srv.url + "/list_databases")
+        assert r.status_code == 401
+        r = requests.get(srv.url + "/list_databases",
+                         headers={"Authorization": "Bearer sekret"})
+        assert r.status_code == 200
+        # client with key works end-to-end
+        c = lynse.VectorDBClient(srv.url, api_key="sekret")
+        db = c.create_database("authdb")
+        coll = db.require_collection("c", dim=2)
+        coll.add([1], vectors=[[0.5, 0.5]])
+        res = coll.search([0.5, 0.5], k=1)
+        assert res.ids[0] == 1
+        c.close()
+        # wrong key rejected
+        with pytest.raises(ConnectionError):
+            lynse.VectorDBClient(srv.url, api_key="wrong")
+    finally:
+        srv.stop()
+
+
+def test_cluster_metadata_kv(server):
+    import requests
+
+    r = requests.post(server.url + "/cluster_metadata/get", json={"key": "t"}).json()
+    assert r["params"]["version"] == 0
+    r = requests.post(
+        server.url + "/cluster_metadata/cas",
+        json={"key": "t", "expected_version": 0, "value": {"a": 1}},
+    ).json()
+    assert r["params"]["ok"] is True
+    r = requests.post(
+        server.url + "/cluster_metadata/cas",
+        json={"key": "t", "expected_version": 0, "value": {"a": 2}},
+    ).json()
+    assert r["params"]["ok"] is False
+    r = requests.post(server.url + "/cluster_metadata/get", json={"key": "t"}).json()
+    assert r["params"]["value"] == {"a": 1}
+
+
+def test_remote_snapshot_export(rdb, rng, tmp_path):
+    coll = rdb.require_collection("c8", dim=4, drop_if_exists=True)
+    coll.add([1, 2], vectors=rng.normal(size=(2, 4)).astype(np.float32))
+    coll.commit()
+    snap = tmp_path / "snap_remote"
+    coll.snapshot_to(snap)
+    restored = rdb.restore_collection(snap, "c8_restored")
+    assert restored.shape == (2, 4)
+    exp = tmp_path / "exp_remote"
+    coll.export_to(exp)
+    imported = rdb.import_collection(exp, "c8_imported")
+    assert imported.shape == (2, 4)

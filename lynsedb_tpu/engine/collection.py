@@ -675,30 +675,39 @@ class Collection:
         if self._index is not None or self._aux_index is not None or self.n_rows == 0:
             return [self.search(q[i], k, where=where) for i in range(len(q))]
         with self._lock:
+            import jax.numpy as jnp
+
+            from ..ops.scan import decode_packed
+
             metric = self.metric
             mask = self.resolve_filter(where)
             corpus = self.corpus()
-            pending = []
+            pending: list = []
             results: list[SearchResult] = []
 
-            def drain_one():
-                resolve = pending.pop(0)
-                dists, ids = resolve()
-                results.append(
-                    SearchResult(
-                        ids=ids[0],
-                        distances=dists[0],
-                        distance_metric=metric.display_name,
-                        index_type=self.index_type,
+            def drain_group():
+                # one stacked device->host fetch for the whole window: the
+                # transport charges per sync, not per byte, at these sizes
+                if not pending:
+                    return
+                stacked = np.asarray(jnp.concatenate(pending, axis=0))
+                pending.clear()
+                for row in range(stacked.shape[0]):
+                    dists, ids = decode_packed(stacked[row : row + 1], k, metric)
+                    results.append(
+                        SearchResult(
+                            ids=ids[0],
+                            distances=dists[0],
+                            distance_metric=metric.display_name,
+                            index_type=self.index_type,
+                        )
                     )
-                )
 
             for i in range(len(q)):
-                pending.append(corpus.search_submit(q[i : i + 1], k, metric, filter_mask=mask))
-                if len(pending) > window:
-                    drain_one()
-            while pending:
-                drain_one()
+                pending.append(corpus.search_packed(q[i : i + 1], k, metric, filter_mask=mask))
+                if len(pending) >= window:
+                    drain_group()
+            drain_group()
             return results
 
     def search_range(self, vector, threshold: float, max_results: int = 1000, where=None):

@@ -145,17 +145,23 @@ def flat_search_step(
     host sync regardless of work, so fusing matters more than FLOPs here)."""
     qt = D.query_transform(q, metric)
     dists, ids = flat_topk(qt, ct, valid, metric=metric, k=k, chunk=chunk, ascending=ascending)
-    ids_f = jax.lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32)
-    return jnp.concatenate([dists, ids_f], axis=-1)
+    # Encode int ids as *normal* f32 values (a raw bitcast of small ints makes
+    # denormals, which the TPU flushes to zero in transit): 12-bit lo + hi
+    # halves are exactly representable and cover ids up to 2^31.
+    ids = ids.astype(jnp.int32)
+    hi = (ids >> 12).astype(jnp.float32)
+    lo = (ids & 0xFFF).astype(jnp.float32)
+    return jnp.concatenate([dists, hi, lo], axis=-1)
 
 
 def unpack_search_step(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host-side decode of flat_search_step output."""
     packed = np.asarray(packed)
-    k = packed.shape[-1] // 2
+    k = packed.shape[-1] // 3
     dists = packed[:, :k].astype(np.float32)
-    ids = packed[:, k:].view(np.int32).astype(np.int64)
-    return dists, ids
+    hi = packed[:, k : 2 * k].astype(np.int64)
+    lo = packed[:, 2 * k :].astype(np.int64)
+    return dists, (hi << 12) | lo
 
 
 @partial(jax.jit, static_argnames=("metric",))
@@ -283,6 +289,27 @@ class DeviceCorpus:
 
     # ── search entry points ──────────────────────────────────────────────
 
+    def search_packed(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metric: Metric,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Optional[jnp.ndarray]:
+        """Asynchronously dispatch a fused search; returns the packed device
+        array (B, 3k') or None for an empty corpus. Decode with
+        :func:`decode_packed`. Enables pipelined query streams with grouped
+        host fetches."""
+        if self.n == 0:
+            return None
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        ct = self.transform(metric)
+        valid = self.valid_mask(filter_mask)
+        chunk = scan_chunk_size(metric, self.n_pad)
+        return flat_search_step(
+            q, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
+        )
+
     def search_submit(
         self,
         queries: np.ndarray,
@@ -290,28 +317,14 @@ class DeviceCorpus:
         metric: Metric,
         filter_mask: Optional[np.ndarray] = None,
     ):
-        """Asynchronously dispatch a fused search; returns a zero-arg
-        resolver. Dispatch is async under JAX — calling the resolver
-        performs the single host sync. Enables pipelined query streams."""
-        if self.n == 0:
+        """Dispatch asynchronously; returns a zero-arg resolver performing
+        the single host sync."""
+        packed = self.search_packed(queries, k, metric, filter_mask)
+        if packed is None:
             b = np.atleast_2d(np.asarray(queries)).shape[0]
             empty = (np.zeros((b, 0), dtype=np.float32), np.zeros((b, 0), dtype=np.int64))
             return lambda: empty
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
-        ct = self.transform(metric)
-        valid = self.valid_mask(filter_mask)
-        chunk = scan_chunk_size(metric, self.n_pad)
-        packed = flat_search_step(
-            q, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
-        )
-
-        def resolve():
-            dists, ids = unpack_search_step(packed)
-            keyed = -dists if metric.ascending else dists
-            keep = keyed > -np.inf
-            return _trim_results(dists, ids, keep, k)
-
-        return resolve
+        return lambda: decode_packed(np.asarray(packed), k, metric)
 
     def search(
         self,
@@ -367,6 +380,14 @@ class DeviceCorpus:
         safe_rows = rows * valid[..., None]
         out = rescore_rows(q, safe_rows, valid, metric=metric)
         return np.asarray(out)
+
+
+def decode_packed(packed_np: np.ndarray, k: int, metric: Metric):
+    """Decode + trim a fetched flat_search_step result."""
+    dists, ids = unpack_search_step(packed_np)
+    keyed = -dists if metric.ascending else dists
+    keep = keyed > -np.inf
+    return _trim_results(dists, ids, keep, k)
 
 
 def _trim_results(dists: np.ndarray, ids: np.ndarray, keep: np.ndarray, k: int):

@@ -1,0 +1,240 @@
+"""Cluster tests: coordinator + real in-process shard servers (the reference
+tests against fake ThreadingHTTPServer shards, test_cluster.py:10; here the
+shards are real BackgroundServers on ephemeral ports)."""
+
+import numpy as np
+import pytest
+import requests
+
+from lynsedb_tpu.cluster.coordinator import BackgroundCoordinator, merge_ranked
+from lynsedb_tpu.cluster.metadata import (
+    CoordinatorLease,
+    LocalMetadataStore,
+    QuorumMetadataStore,
+)
+from lynsedb_tpu.server.app import BackgroundServer
+
+
+def test_merge_ranked_ordering():
+    res = [
+        {"items": {"ids": [1, 2], "scores": [0.1, 0.5], "fields": []}},
+        {"items": {"ids": [3, 4], "scores": [0.3, 0.05], "fields": []}},
+    ]
+    out = merge_ranked(res, 3, ascending=True)
+    assert out["ids"] == [4, 1, 3]
+    out = merge_ranked(res, 3, ascending=False)
+    assert out["ids"] == [2, 3, 1]
+
+
+def test_local_metadata_cas(tmp_path):
+    store = LocalMetadataStore(tmp_path / "meta.json")
+    assert store.get() == (0, None)
+    assert store.cas(0, {"a": 1})
+    assert store.get() == (1, {"a": 1})
+    assert not store.cas(0, {"a": 2})
+    assert store.cas(1, {"a": 2})
+
+
+def test_quorum_metadata_read_repair(tmp_path):
+    owners = [LocalMetadataStore(tmp_path / f"m{i}.json") for i in range(3)]
+    q = QuorumMetadataStore(owners)
+    assert q.cas(0, {"x": 1})
+    # one owner falls behind
+    owners[2].cas(1, None) if False else None
+    v, val = q.get()
+    assert v == 1 and val == {"x": 1}
+    # simulate stale minority: write v2 to two owners only
+    owners[0].cas(1, {"x": 2})
+    owners[1].cas(1, {"x": 2})
+    v, val = q.get()
+    assert v == 2 and val == {"x": 2}
+    # read repaired the third owner
+    assert owners[2].get() == (2, {"x": 2})
+
+
+def test_lease_takeover(tmp_path):
+    store = LocalMetadataStore(tmp_path / "meta.json")
+    l1 = CoordinatorLease(store, "c1", lease_secs=0.2)
+    l2 = CoordinatorLease(store, "c2", lease_secs=0.2)
+    assert l1.tick("http://c1")
+    assert not l2.tick("http://c2")
+    assert l2.leader_uri == "http://c1"
+    import time
+
+    time.sleep(0.3)  # lease expires
+    assert l2.tick("http://c2")
+    assert not l1.tick("http://c1")
+
+
+@pytest.fixture(scope="module")
+def cluster(tmp_path_factory):
+    roots = tmp_path_factory.mktemp("cluster")
+    shards = [BackgroundServer(str(roots / f"shard{i}"), port=0) for i in range(3)]
+    config = {
+        "bucket_count": 64,
+        "metadata": {"kind": "local", "path": str(roots / "meta.json")},
+        "shard_groups": [
+            {"name": f"g{i}", "primary": s.url, "replicas": []} for i, s in enumerate(shards)
+        ],
+    }
+    coord = BackgroundCoordinator(config, port=0, health_loop=False)
+    yield coord, shards
+    coord.stop()
+    for s in shards:
+        s.stop()
+
+
+def _post(url, endpoint, payload):
+    r = requests.post(url + endpoint, json=payload, timeout=30)
+    assert r.status_code == 200, r.text
+    return r.json().get("params") or {}
+
+
+def test_cluster_end_to_end(cluster, rng):
+    coord, shards = cluster
+    url = coord.url
+    _post(url, "/create_database", {"database_name": "cdb"})
+    _post(url, "/required_collection",
+          {"database_name": "cdb", "collection_name": "c", "dim": 8})
+
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    out = _post(url, "/add", {
+        "database_name": "cdb", "collection_name": "c",
+        "ids": list(range(60)), "vectors": vecs.tolist(),
+        "fields": [{"bucket": i % 3} for i in range(60)],
+    })
+    assert out["ids"] == list(range(60))
+    _post(url, "/commit", {"database_name": "cdb", "collection_name": "c"})
+
+    # rows are spread across shards
+    shape = _post(url, "/collection_shape", {"database_name": "cdb", "collection_name": "c"})
+    assert shape["shape"] == [60, 8]
+    per_shard = []
+    for s in shards:
+        p = _post(s.url, "/collection_shape", {"database_name": "cdb", "collection_name": "c"})
+        per_shard.append(p["shape"][0])
+    assert sum(per_shard) == 60
+    assert all(n > 0 for n in per_shard)
+
+    # fan-out search merges to the global exact top-k
+    _post(url, "/build_index", {"database_name": "cdb", "collection_name": "c",
+                                "index_mode": "FLAT-L2"})
+    q = vecs[7]
+    items = _post(url, "/search", {
+        "database_name": "cdb", "collection_name": "c",
+        "vector": q.tolist(), "k": 5,
+    })["items"]
+    want = np.argsort(((vecs - q) ** 2).sum(-1))[:5]
+    assert items["ids"][0] == 7
+    assert set(items["ids"]) == set(int(i) for i in want)
+    # ascending metric: distances sorted ascending
+    assert all(items["scores"][i] <= items["scores"][i + 1] for i in range(4))
+
+    # filtered search across shards
+    items = _post(url, "/search", {
+        "database_name": "cdb", "collection_name": "c",
+        "vector": q.tolist(), "k": 60, "where": "bucket = 1",
+    })["items"]
+    assert all(i % 3 == 1 for i in items["ids"])
+
+    # deletes route to the right shard
+    out = _post(url, "/delete", {"database_name": "cdb", "collection_name": "c", "ids": [7]})
+    assert out["deleted"] == 1
+    items = _post(url, "/search", {
+        "database_name": "cdb", "collection_name": "c", "vector": q.tolist(), "k": 5,
+    })["items"]
+    assert 7 not in items["ids"]
+
+    # stats aggregate
+    st = _post(url, "/stats", {"database_name": "cdb", "collection_name": "c"})
+    assert st["rows"] == 60 and st["deleted_rows"] == 1 and st["shards"] == 3
+
+
+def test_cluster_auto_id_allocation(cluster, rng):
+    coord, _ = cluster
+    url = coord.url
+    _post(url, "/required_collection",
+          {"database_name": "cdb", "collection_name": "auto", "dim": 4})
+    out1 = _post(url, "/add", {
+        "database_name": "cdb", "collection_name": "auto",
+        "vectors": rng.normal(size=(5, 4)).astype(np.float32).tolist(),
+    })
+    out2 = _post(url, "/add", {
+        "database_name": "cdb", "collection_name": "auto",
+        "vectors": rng.normal(size=(5, 4)).astype(np.float32).tolist(),
+    })
+    ids = out1["ids"] + out2["ids"]
+    assert len(set(ids)) == 10  # globally unique across calls
+
+
+def test_cluster_batch_search(cluster, rng):
+    coord, _ = cluster
+    url = coord.url
+    vecs = rng.normal(size=(4, 8)).astype(np.float32)
+    out = _post(url, "/batch_search", {
+        "database_name": "cdb", "collection_name": "c",
+        "vectors": vecs.tolist(), "k": 3,
+    })
+    assert len(out["results"]) == 4
+    for r in out["results"]:
+        assert len(r["ids"]) == 3
+
+
+def test_cluster_via_client(cluster, rng):
+    """The remote VectorDBClient can talk to the coordinator directly."""
+    import lynsedb_tpu as lynse
+
+    coord, _ = cluster
+    client = lynse.VectorDBClient(coord.url)
+    db = client.get_database("cdb")
+    coll = db.get_collection("c", warm_up=False) if False else None
+    # get_collection checks is_collection_exists which fans out; use require
+    coll = db.require_collection("via_client", dim=4, default_index=None)
+    coll.add([100, 200], vectors=rng.normal(size=(2, 4)).astype(np.float32))
+    res = coll.search(np.ones(4, dtype=np.float32), k=2)
+    assert set(res.ids.tolist()) == {100, 200}
+    client.close()
+
+
+def test_cluster_failover(tmp_path_factory, rng):
+    roots = tmp_path_factory.mktemp("failover")
+    primary = BackgroundServer(str(roots / "p"), port=0)
+    replica = BackgroundServer(str(roots / "r"), port=0)
+    config = {
+        "bucket_count": 16,
+        "metadata": {"kind": "local", "path": str(roots / "meta.json")},
+        "shard_groups": [
+            {"name": "g0", "primary": primary.url,
+             "replicas": [{"uri": replica.url, "state": "active"}]},
+        ],
+    }
+    coord = BackgroundCoordinator(config, port=0, health_loop=False)
+    try:
+        url = coord.url
+        _post(url, "/create_database", {"database_name": "f"})
+        _post(url, "/required_collection",
+              {"database_name": "f", "collection_name": "c", "dim": 4})
+        vecs = rng.normal(size=(10, 4)).astype(np.float32)
+        _post(url, "/add", {"database_name": "f", "collection_name": "c",
+                            "ids": list(range(10)), "vectors": vecs.tolist()})
+        # mirrored writes: replica has the same rows
+        p_shape = _post(primary.url, "/collection_shape",
+                        {"database_name": "f", "collection_name": "c"})
+        r_shape = _post(replica.url, "/collection_shape",
+                        {"database_name": "f", "collection_name": "c"})
+        assert p_shape["shape"][0] == 10 and r_shape["shape"][0] == 10
+
+        # kill the primary; probes should promote the replica
+        primary.stop()
+        for _ in range(5):
+            coord.coordinator.probe_once()
+        group = coord.state.group_by_name("g0")
+        assert group["primary"] == replica.url
+
+        # reads keep working through the promoted replica
+        items = _post(url, "/search", {"database_name": "f", "collection_name": "c",
+                                       "vector": vecs[3].tolist(), "k": 1})["items"]
+        assert items["ids"] == [3]
+    finally:
+        coord.stop()
+        replica.stop()

@@ -1,0 +1,197 @@
+"""DiskANN-style Vamana index, TPU-native.
+
+Reference behavior: src/index/diskann.rs — Vamana build (random init :798,
+robust-prune passes :830/:1025, parallel batched build :1084), beam search
+:602, in-place insert/delete repair (IP-DiskANN, :1337/:1496). The TPU build
+keeps the full graph on device as a dense (N, R) int32 adjacency and runs the
+batched beam kernel in :mod:`lynsedb_tpu.ops.graph`; quantized layered mode is
+subsumed by the device-resident corpus (HBM plays the role of the SSD tier).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import Metric
+from ..ops.graph import beam_search, build_vamana
+from ..storage.vector_store import write_atomic
+
+DEFAULT_R = 16
+DEFAULT_L = 64
+DEFAULT_ALPHA = 1.2
+TAIL_REBUILD_FRACTION = 0.2
+
+
+class DiskANNIndex:
+    kind = "diskann"
+
+    def __init__(self, coll, mode, opts, graph: np.ndarray, medoid: int, built_rows: int,
+                 r: int, l: int, alpha: float, starts: np.ndarray | None = None):
+        self.mode = mode
+        self.metric: Metric = mode.metric
+        self.graph_np = graph
+        self.medoid = int(medoid)
+        self.built_rows = int(built_rows)
+        self.r = r
+        self.l = l
+        self.alpha = alpha
+        self._starts_np = starts if starts is not None else np.asarray([medoid], dtype=np.int32)
+        self._graph_dev = None
+
+    # ── build ────────────────────────────────────────────────────────────
+
+    @classmethod
+    def build(cls, coll, mode, opts) -> "DiskANNIndex":
+        data = coll.store.read_all()
+        n = data.shape[0]
+        if n == 0:
+            raise ValueError("cannot build a DiskANN index on an empty collection")
+        r = opts.r or DEFAULT_R
+        l = opts.l or DEFAULT_L
+        alpha = float(opts.alpha or DEFAULT_ALPHA)
+        if opts.max_degree:
+            r = min(r, opts.max_degree)
+        rows = jnp.asarray(data)
+        graph = build_vamana(rows, mode.metric, r=r, l_build=l, alpha=alpha)
+        medoid = int(np.asarray(jnp.argmin(jnp.sum((rows - rows.mean(0)) ** 2, axis=1))))
+        idx = cls(coll, mode, opts, graph, medoid, n, r, l, alpha)
+        idx._starts_np = idx._compute_starts(data)
+        idx.save(coll)
+        return idx
+
+    def _compute_starts(self, data: np.ndarray) -> np.ndarray:
+        """Entry points: the medoid plus, for inner-product search, the
+        highest-norm rows (MIPS winners concentrate at large norms — the same
+        reason the reference ships a dedicated IP-DiskANN path)."""
+        starts = [self.medoid]
+        if self.metric is Metric.IP:
+            norms = np.linalg.norm(data, axis=1)
+            starts.extend(np.argsort(-norms)[:4].tolist())
+        return np.unique(np.asarray(starts, dtype=np.int32))
+
+    # ── persistence ──────────────────────────────────────────────────────
+
+    def save(self, coll) -> None:
+        idx_dir = coll.root / "index"
+        idx_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(idx_dir / "graph.npz", graph=self.graph_np, starts=self._starts_np)
+        write_atomic(
+            idx_dir / "graph_meta.json",
+            json.dumps(
+                {
+                    "kind": self.kind,
+                    "medoid": self.medoid,
+                    "built_rows": self.built_rows,
+                    "r": self.r,
+                    "l": self.l,
+                    "alpha": self.alpha,
+                }
+            ).encode(),
+        )
+
+    @classmethod
+    def load(cls, coll, mode, opts) -> Optional["DiskANNIndex"]:
+        idx_dir = coll.root / "index"
+        if not (idx_dir / "graph.npz").exists():
+            return None
+        meta = json.loads((idx_dir / "graph_meta.json").read_text())
+        data = np.load(idx_dir / "graph.npz")
+        starts = data["starts"] if "starts" in data.files else None
+        return cls(coll, mode, opts, data["graph"], meta["medoid"], meta["built_rows"],
+                   meta["r"], meta["l"], meta["alpha"], starts=starts)
+
+    # ── search ───────────────────────────────────────────────────────────
+
+    def _graph(self):
+        if self._graph_dev is None:
+            self._graph_dev = jnp.asarray(self.graph_np)
+        return self._graph_dev
+
+    def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
+        metric = self.metric
+        corpus = coll.corpus()
+        beam = max(int(nprobe or 0), self.l, k)
+        live = corpus.valid_mask(mask)[: self.built_rows]
+        qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
+        keys, ids = beam_search(
+            qj,
+            corpus._data[: self.built_rows].astype(jnp.float32),
+            self._graph(),
+            jnp.asarray(self._starts_np.astype(np.int32)),
+            live,
+            metric=metric,
+            beam=beam,
+            max_steps=beam * 2,
+            k=k,
+        )
+        keys = np.asarray(keys)
+        ids = np.asarray(ids, dtype=np.int64)
+        dists = -keys if metric.ascending else keys
+
+        # exact tail for rows added after build
+        if self.built_rows < coll.n_rows:
+            tail_mask = np.zeros(coll.n_rows, dtype=bool)
+            tail_mask[self.built_rows :] = True
+            if mask is not None:
+                tail_mask &= mask[: coll.n_rows]
+            td, ti = corpus.search(q, k, metric, filter_mask=tail_mask)
+            if td.shape[1]:
+                pad = np.full(
+                    (dists.shape[0], td.shape[1]),
+                    np.inf if metric.ascending else -np.inf,
+                    np.float32,
+                )
+                pad_ids = np.full((dists.shape[0], td.shape[1]), -1, np.int64)
+                pad[:, : td.shape[1]] = td
+                pad_ids[:, : ti.shape[1]] = ti
+                dists = np.concatenate([dists, pad], axis=1)
+                ids = np.concatenate([ids, pad_ids], axis=1)
+
+        return _finalize_ranked(dists, ids, k, metric)
+
+    # ── lifecycle ────────────────────────────────────────────────────────
+
+    def on_commit(self, coll) -> None:
+        n = coll.n_rows
+        if n > self.built_rows and (n - self.built_rows) > TAIL_REBUILD_FRACTION * max(n, 1):
+            self.rebuild(coll)
+
+    def rebuild(self, coll) -> None:
+        from . import IndexBuildOptions
+
+        opts = IndexBuildOptions(r=self.r, l=self.l, alpha=self.alpha)
+        fresh = DiskANNIndex.build(coll, self.mode, opts)
+        self.__dict__.update(fresh.__dict__)
+
+
+def _finalize_ranked(dists: np.ndarray, ids: np.ndarray, k: int, metric: Metric):
+    """Order candidates, drop invalid/dup entries, truncate to k."""
+    b = dists.shape[0]
+    keyed = -dists if metric.ascending else dists
+    out_d, out_i = [], []
+    for row in range(b):
+        order = np.argsort(-keyed[row], kind="stable")
+        seen = set()
+        dd, ii = [], []
+        for j in order:
+            rid = int(ids[row, j])
+            if rid < 0 or not np.isfinite(keyed[row, j]) or rid in seen:
+                continue
+            seen.add(rid)
+            dd.append(dists[row, j])
+            ii.append(rid)
+            if len(ii) >= k:
+                break
+        out_d.append(dd)
+        out_i.append(ii)
+    width = max((len(x) for x in out_i), default=0)
+    d_arr = np.zeros((b, width), dtype=np.float32)
+    i_arr = np.full((b, width), -1, dtype=np.int64)
+    for row in range(b):
+        d_arr[row, : len(out_d[row])] = out_d[row]
+        i_arr[row, : len(out_i[row])] = out_i[row]
+    return d_arr, i_arr

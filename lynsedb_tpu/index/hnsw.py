@@ -1,0 +1,197 @@
+"""HNSW-style hierarchical graph index, TPU-native.
+
+Reference behavior contract: src/index/hnsw.rs — multi-layer small-world
+graph, ef_search beam (nprobe maps to ef), m/ef_construction build params,
+filtered search with brute-force fallback. The TPU formulation keeps the
+behavior (greedy descent through sparse upper layers, beam at layer 0,
+ef controls recall/latency) but builds layers batched: upper layers are
+geometric subsamples wired by exact kNN matmuls (they are tiny), and layer 0
+is a batched Vamana-style graph — pointer-chasing construction is replaced by
+matmul-batched construction, which is the idiomatic TPU design.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import Metric
+from ..ops.graph import beam_search, build_vamana, exact_knn_graph
+from ..storage.vector_store import write_atomic
+from .diskann import _finalize_ranked
+
+DEFAULT_M = 16
+DEFAULT_EF_CONSTRUCTION = 128
+DEFAULT_EF_SEARCH = 50
+LAYER_DECAY = 16  # upper layer subsample ratio
+TAIL_REBUILD_FRACTION = 0.2
+
+
+class HNSWIndex:
+    kind = "hnsw"
+
+    def __init__(self, coll, mode, opts, layer0: np.ndarray, upper: list[dict],
+                 entry: int, built_rows: int, m: int, efc: int, efs: int):
+        self.mode = mode
+        self.metric: Metric = mode.metric
+        self.layer0_np = layer0
+        self.upper = upper  # [{"nodes": (Ni,), "graph": (Ni, m)}] coarse->fine
+        self.entry = int(entry)
+        self.built_rows = int(built_rows)
+        self.m = m
+        self.ef_construction = efc
+        self.ef_search = efs
+        self._dev = None
+
+    @classmethod
+    def build(cls, coll, mode, opts) -> "HNSWIndex":
+        data = coll.store.read_all()
+        n = data.shape[0]
+        if n == 0:
+            raise ValueError("cannot build an HNSW index on an empty collection")
+        m = opts.m or DEFAULT_M
+        efc = opts.ef_construction or DEFAULT_EF_CONSTRUCTION
+        efs = opts.ef_search or DEFAULT_EF_SEARCH
+        rows = jnp.asarray(data)
+
+        layer0 = build_vamana(rows, mode.metric, r=m, l_build=max(efc // 2, m * 2), alpha=1.2)
+
+        # upper layers: geometric subsamples with exact kNN wiring
+        rng = np.random.default_rng(7)
+        upper: list[dict] = []
+        max_level = opts.max_level or max(int(math.log(max(n, 2), LAYER_DECAY)), 0)
+        nodes = np.arange(n)
+        for _ in range(max_level):
+            if len(nodes) <= max(m * 2, 8):
+                break
+            nodes = np.sort(rng.choice(nodes, size=max(len(nodes) // LAYER_DECAY, 4), replace=False))
+            graph = exact_knn_graph(rows[jnp.asarray(nodes)], mode.metric, m)
+            upper.insert(0, {"nodes": nodes.astype(np.int32), "graph": graph})
+        entry = int(upper[0]["nodes"][0]) if upper else 0
+        idx = cls(coll, mode, opts, layer0, upper, entry, n, m, efc, efs)
+        idx.save(coll)
+        return idx
+
+    # ── persistence ──────────────────────────────────────────────────────
+
+    def save(self, coll) -> None:
+        idx_dir = coll.root / "index"
+        idx_dir.mkdir(parents=True, exist_ok=True)
+        arrays = {"layer0": self.layer0_np}
+        for i, layer in enumerate(self.upper):
+            arrays[f"u{i}_nodes"] = layer["nodes"]
+            arrays[f"u{i}_graph"] = layer["graph"]
+        np.savez(idx_dir / "hnsw.npz", **arrays)
+        write_atomic(
+            idx_dir / "hnsw_meta.json",
+            json.dumps(
+                {
+                    "entry": self.entry,
+                    "built_rows": self.built_rows,
+                    "m": self.m,
+                    "ef_construction": self.ef_construction,
+                    "ef_search": self.ef_search,
+                    "n_upper": len(self.upper),
+                }
+            ).encode(),
+        )
+
+    @classmethod
+    def load(cls, coll, mode, opts) -> Optional["HNSWIndex"]:
+        idx_dir = coll.root / "index"
+        if not (idx_dir / "hnsw.npz").exists():
+            return None
+        meta = json.loads((idx_dir / "hnsw_meta.json").read_text())
+        data = np.load(idx_dir / "hnsw.npz")
+        upper = [
+            {"nodes": data[f"u{i}_nodes"], "graph": data[f"u{i}_graph"]}
+            for i in range(meta["n_upper"])
+        ]
+        return cls(coll, mode, opts, data["layer0"], upper, meta["entry"],
+                   meta["built_rows"], meta["m"], meta["ef_construction"], meta["ef_search"])
+
+    # ── search ───────────────────────────────────────────────────────────
+
+    def _device(self, corpus):
+        if self._dev is None:
+            self._dev = {
+                "layer0": jnp.asarray(self.layer0_np),
+                "rows": corpus._data[: self.built_rows].astype(jnp.float32),
+            }
+        return self._dev
+
+    def _descend(self, q: np.ndarray, corpus) -> np.ndarray:
+        """Greedy descent through the (tiny) upper layers: exact scans over
+        the subsample nodes — small matmuls, no pointer chasing."""
+        from ..ops import distance as D
+
+        best = np.full(q.shape[0], self.entry, dtype=np.int32)
+        for layer in self.upper:
+            nodes = layer["nodes"]
+            rows = corpus._data[jnp.asarray(nodes)].astype(jnp.float32)
+            qt = D.query_transform(jnp.asarray(q), self.metric)
+            scores = np.asarray(D.pairwise(qt, D.corpus_transform(rows, self.metric), self.metric))
+            pick = np.argmin(scores, axis=1) if self.metric.ascending else np.argmax(scores, axis=1)
+            best = nodes[pick].astype(np.int32)
+        return best
+
+    def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
+        metric = self.metric
+        corpus = coll.corpus()
+        dev = self._device(corpus)
+        ef = max(int(nprobe or 0), self.ef_search, k)
+        q2 = np.atleast_2d(q.astype(np.float32))
+        entries = self._descend(q2, corpus)
+        live = corpus.valid_mask(mask)[: self.built_rows]
+        # shared entry set: the per-query descents, deduped
+        starts = jnp.asarray(np.unique(entries).astype(np.int32))
+        keys, ids = beam_search(
+            jnp.asarray(q2),
+            dev["rows"],
+            dev["layer0"],
+            starts,
+            live,
+            metric=metric,
+            beam=ef,
+            max_steps=ef * 2,
+            k=k,
+        )
+        keys = np.asarray(keys)
+        ids = np.asarray(ids, dtype=np.int64)
+        dists = -keys if metric.ascending else keys
+
+        if self.built_rows < coll.n_rows:
+            tail_mask = np.zeros(coll.n_rows, dtype=bool)
+            tail_mask[self.built_rows :] = True
+            if mask is not None:
+                tail_mask &= mask[: coll.n_rows]
+            td, ti = corpus.search(q, k, metric, filter_mask=tail_mask)
+            if td.shape[1]:
+                pad = np.full((dists.shape[0], td.shape[1]),
+                              np.inf if metric.ascending else -np.inf, np.float32)
+                pad_ids = np.full((dists.shape[0], td.shape[1]), -1, np.int64)
+                pad[:, : td.shape[1]] = td
+                pad_ids[:, : ti.shape[1]] = ti
+                dists = np.concatenate([dists, pad], axis=1)
+                ids = np.concatenate([ids, pad_ids], axis=1)
+        return _finalize_ranked(dists, ids, k, metric)
+
+    # ── lifecycle ────────────────────────────────────────────────────────
+
+    def on_commit(self, coll) -> None:
+        n = coll.n_rows
+        if n > self.built_rows and (n - self.built_rows) > TAIL_REBUILD_FRACTION * max(n, 1):
+            self.rebuild(coll)
+
+    def rebuild(self, coll) -> None:
+        from . import IndexBuildOptions
+
+        opts = IndexBuildOptions(
+            m=self.m, ef_construction=self.ef_construction, ef_search=self.ef_search
+        )
+        fresh = HNSWIndex.build(coll, self.mode, opts)
+        self.__dict__.update(fresh.__dict__)

@@ -1,0 +1,295 @@
+"""Graph-ANN kernels: batched beam search + batched Vamana construction.
+
+The reference's graph indexes walk pointers one node at a time on CPU
+(reference: src/index/hnsw.rs:625 search_layer, src/index/diskann.rs:602
+PQ-guided beam, :798-1084 Vamana build). Pointer-chasing is hostile to TPUs,
+so the TPU formulation batches everything:
+
+  * search: a whole query batch advances together. Each step expands the best
+    unexpanded candidate per query, gathers all R neighbors at once, computes
+    the (B, R) distance block with one matmul, and merges into a sorted
+    candidate pool via `lax.top_k`. A (B, N) visited bitmap lives in HBM.
+  * build: points are inserted in batches — one batched beam search against
+    the current graph discovers candidates for 1024 points at once, candidate
+    pairwise distances come from one einsum, and the alpha robust-prune runs
+    vectorized over the batch.
+
+Distance orientation: the kernel works in "keyed" space (bigger = better),
+so it serves every metric the index families allow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import Metric
+from . import distance as D
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _keyed_pairwise(q, x, metric: Metric):
+    """(B, C) similarity keys (bigger = better) between query and rows."""
+    qt = D.query_transform(q, metric)
+    ct = D.corpus_transform(x, metric)
+    scores = D.pairwise(qt, ct, metric)
+    return -scores if metric.ascending else scores
+
+
+@partial(jax.jit, static_argnames=("metric", "beam", "max_steps", "k"))
+def beam_search(
+    q: jnp.ndarray,  # (B, D)
+    corpus: jnp.ndarray,  # (N, D) f32
+    graph: jnp.ndarray,  # (N, R) int32, -1 padded
+    starts: jnp.ndarray,  # (S,) int32 entry points (shared)
+    valid: jnp.ndarray,  # (N,) bool — live rows (tombstones/filters)
+    *,
+    metric: Metric,
+    beam: int,
+    max_steps: int,
+    k: int,
+):
+    """Batched best-first beam search. Returns (keys (B,k), ids (B,k)) with
+    ids == -1 where the pool ran dry; keys are oriented (bigger = better)."""
+    b, d = q.shape
+    n, r = graph.shape
+    s = starts.shape[0]
+
+    start_rows = corpus[starts]  # (S, D)
+    keys0 = _keyed_pairwise(q, start_rows, metric)  # (B, S)
+    keys0 = jnp.where(valid[starts][None, :], keys0, NEG_INF)
+
+    pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
+    pool_keys = jnp.full((b, beam), NEG_INF)
+    pool_exp = jnp.zeros((b, beam), dtype=bool)
+    # seed the pool
+    top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
+    pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
+    pool_ids = pool_ids.at[:, : top0.shape[1]].set(starts[idx0].astype(jnp.int32))
+
+    visited = jnp.zeros((b, n), dtype=bool)
+    visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
+
+    qt_rows = q  # raw; distances recomputed per expansion
+
+    def step(state):
+        pool_ids, pool_keys, pool_exp, visited, steps = state
+        # best unexpanded candidate per query
+        cand_key = jnp.where(pool_exp | (pool_ids < 0), NEG_INF, pool_keys)
+        best = jnp.argmax(cand_key, axis=1)  # (B,)
+        best_id = pool_ids[jnp.arange(b), best]  # (B,)
+        has_work = cand_key[jnp.arange(b), best] > NEG_INF
+        pool_exp = pool_exp.at[jnp.arange(b), best].set(True)
+
+        nbrs = graph[jnp.maximum(best_id, 0)]  # (B, R)
+        nbr_ok = (nbrs >= 0) & has_work[:, None]
+        safe_nbrs = jnp.maximum(nbrs, 0)
+        seen = visited[jnp.arange(b)[:, None], safe_nbrs]
+        fresh = nbr_ok & ~seen
+        visited = visited.at[jnp.arange(b)[:, None], safe_nbrs].set(
+            visited[jnp.arange(b)[:, None], safe_nbrs] | fresh
+        )
+
+        rows = corpus[safe_nbrs]  # (B, R, D)
+        keys = jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(qt_rows, rows)
+        keys = jnp.where(fresh & valid[safe_nbrs], keys, NEG_INF)
+
+        # merge pool and fresh neighbors, keep top `beam`
+        all_keys = jnp.concatenate([pool_keys, keys], axis=1)
+        all_ids = jnp.concatenate([pool_ids, jnp.where(fresh, nbrs, -1)], axis=1)
+        all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
+        top_keys, pos = jax.lax.top_k(all_keys, beam)
+        gather = lambda a: jnp.take_along_axis(a, pos, axis=1)  # noqa: E731
+        return gather(all_ids), top_keys, gather(all_exp), visited, steps + 1
+
+    def cond(state):
+        pool_ids, pool_keys, pool_exp, visited, steps = state
+        unexpanded = (~pool_exp) & (pool_ids >= 0) & (pool_keys > NEG_INF)
+        return (steps < max_steps) & jnp.any(unexpanded)
+
+    pool_ids, pool_keys, pool_exp, visited, _ = jax.lax.while_loop(
+        cond, step, (pool_ids, pool_keys, pool_exp, visited, jnp.int32(0))
+    )
+    k_eff = min(k, beam)
+    top_keys, pos = jax.lax.top_k(pool_keys, k_eff)
+    top_ids = jnp.take_along_axis(pool_ids, pos, axis=1)
+    top_ids = jnp.where(top_keys > NEG_INF, top_ids, -1)
+    return top_keys, top_ids
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def candidate_pair_keys(rows: jnp.ndarray, metric: Metric) -> jnp.ndarray:
+    """(BS, L, L) similarity keys among each point's candidates (used by the
+    batched robust prune)."""
+
+    def one(block):
+        return _keyed_pairwise(block, block, metric)
+
+    return jax.vmap(one)(rows)
+
+
+def robust_prune_batch(
+    point_keys: np.ndarray,  # (BS, L) key(point, candidate), bigger = closer
+    pair_keys: np.ndarray,  # (BS, L, L) key(candidate_i, candidate_j)
+    cand_ids: np.ndarray,  # (BS, L) int, -1 padded
+    alpha: float,
+    r: int,
+) -> np.ndarray:
+    """Vectorized alpha-pruning (reference: diskann.rs robust-prune :830).
+
+    Works in key space: for ascending metrics keys are negated distances, so
+    the alpha rule `dist(p,c) > alpha * dist(c,kept)` becomes a key
+    comparison after scaling. For descending (IP) we fall back to plain
+    closest-first selection with diversity by key dominance.
+    Returns (BS, r) pruned neighbor ids, -1 padded.
+    """
+    bs, l = point_keys.shape
+    order = np.argsort(-point_keys, axis=1, kind="stable")
+    out = np.full((bs, r), -1, dtype=np.int64)
+    out_n = np.zeros(bs, dtype=np.int64)
+    pruned = cand_ids < 0  # (BS, L) candidates already dropped
+    pruned |= ~np.isfinite(point_keys)
+
+    for rank in range(l):
+        idx = order[:, rank]  # (BS,)
+        rows = np.arange(bs)
+        active = (~pruned[rows, idx]) & (out_n < r)
+        sel_rows = rows[active]
+        if len(sel_rows) == 0:
+            continue
+        sel_idx = idx[active]
+        out[sel_rows, out_n[sel_rows]] = cand_ids[sel_rows, sel_idx]
+        out_n[sel_rows] += 1
+        pruned[sel_rows, sel_idx] = True
+        # alpha-dominance: drop candidates much closer to the kept node than
+        # to the point. keys are -dist: dist(p,c) > a*dist(kept,c)
+        #  <=> -key_p(c) > -a*key_kept(c) <=> key_p(c) < a*key_kept(c)
+        kept_keys = pair_keys[sel_rows, sel_idx, :]  # (n_sel, L)
+        dominated = point_keys[sel_rows] < alpha * kept_keys
+        pruned[sel_rows] |= dominated
+    return out
+
+
+def build_vamana(
+    corpus_rows: "jnp.ndarray",
+    metric: Metric,
+    *,
+    r: int = 16,
+    l_build: int = 64,
+    alpha: float = 1.2,
+    seed: int = 42,
+    passes: int = 2,
+    batch: int = 1024,
+) -> np.ndarray:
+    """Batched Vamana construction on-device (reference behavior:
+    diskann.rs:798 random init -> :1025 two robust-prune passes -> :1084
+    parallel batched build). Returns (N, r) int32 adjacency, -1 padded."""
+    n = int(corpus_rows.shape[0])
+    rng = np.random.default_rng(seed)
+    if n <= r + 1:
+        graph = np.full((n, r), -1, dtype=np.int32)
+        for i in range(n):
+            others = [j for j in range(n) if j != i]
+            graph[i, : len(others)] = others
+        return graph
+
+    # random initial graph
+    graph = np.empty((n, r), dtype=np.int32)
+    for i in range(0, n, 65536):
+        m = min(65536, n - i)
+        block = rng.integers(0, n - 1, size=(m, r))
+        block += block >= (np.arange(i, i + m)[:, None])  # avoid self-loops
+        graph[i : i + m] = block % n
+
+    medoid = int(np.asarray(jnp.argmin(jnp.sum((corpus_rows - corpus_rows.mean(0)) ** 2, axis=1))))
+    starts = jnp.asarray([medoid], dtype=jnp.int32)
+    valid = jnp.ones(n, dtype=bool)
+    alpha_pass = [1.0] * (passes - 1) + [alpha]
+
+    order = rng.permutation(n)
+    for p in range(passes):
+        graph_dev = jnp.asarray(graph)
+        for i in range(0, n, batch):
+            ids = order[i : i + batch]
+            pad = batch - len(ids)
+            q_ids = np.concatenate([ids, np.zeros(pad, dtype=ids.dtype)]) if pad else ids
+            q = corpus_rows[jnp.asarray(q_ids)]
+            keys, cands = beam_search(
+                q, corpus_rows, graph_dev, starts, valid,
+                metric=metric, beam=l_build, max_steps=l_build * 2, k=l_build,
+            )
+            keys = np.asarray(keys)
+            cands = np.asarray(cands)
+            # drop self-candidates
+            self_mask = cands == q_ids[:, None]
+            cands = np.where(self_mask, -1, cands)
+            keys = np.where(self_mask, -np.inf, keys)
+            rows = corpus_rows[jnp.asarray(np.maximum(cands, 0))]
+            pair = np.asarray(candidate_pair_keys(rows, metric))
+            pruned = robust_prune_batch(keys, pair, cands, alpha_pass[p], r)
+            if pad:
+                pruned = pruned[: len(ids)]
+            graph[ids] = pruned.astype(np.int32)
+            # reverse edges: p joins each chosen neighbor's list; nodes whose
+            # lists overflow get a batched alpha re-prune (reference keeps
+            # graphs healthy the same way: prune on overflow, diskann.rs)
+            overflow: dict[int, list[int]] = {}
+            for row_i, point in enumerate(ids):
+                for nbr in pruned[row_i]:
+                    if nbr < 0:
+                        continue
+                    free = np.where(graph[nbr] < 0)[0]
+                    if len(free):
+                        graph[nbr, free[0]] = point
+                    else:
+                        overflow.setdefault(int(nbr), []).append(int(point))
+            if overflow:
+                _reprune_nodes(graph, overflow, corpus_rows, metric,
+                               alpha_pass[p], r)
+            graph_dev = jnp.asarray(graph)
+    return graph
+
+
+def _reprune_nodes(graph: np.ndarray, overflow: dict[int, list[int]],
+                   corpus_rows, metric: Metric, alpha: float, r: int,
+                   batch: int = 1024) -> None:
+    """Batched alpha re-prune of nodes whose adjacency overflowed with
+    reverse edges: candidates = current neighbors + pending requests."""
+    nodes = np.fromiter(overflow.keys(), dtype=np.int64)
+    c_width = 2 * r
+    for i in range(0, len(nodes), batch):
+        chunk = nodes[i : i + batch]
+        cands = np.full((len(chunk), c_width), -1, dtype=np.int64)
+        for row_i, node in enumerate(chunk):
+            merged = [x for x in graph[node] if x >= 0]
+            for req in overflow[int(node)]:
+                if req not in merged and req != node:
+                    merged.append(req)
+            cands[row_i, : min(len(merged), c_width)] = merged[:c_width]
+        node_rows = corpus_rows[jnp.asarray(chunk)]
+        cand_rows = corpus_rows[jnp.asarray(np.maximum(cands, 0))]
+        point_keys = np.asarray(
+            jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(
+                node_rows, cand_rows
+            )
+        )
+        point_keys = np.where(cands >= 0, point_keys, -np.inf)
+        pair = np.asarray(candidate_pair_keys(cand_rows, metric))
+        pruned = robust_prune_batch(point_keys, pair, cands, alpha, r)
+        graph[chunk] = pruned.astype(np.int32)
+
+
+def exact_knn_graph(rows: "jnp.ndarray", metric: Metric, r: int) -> np.ndarray:
+    """Exact kNN graph for small node sets (upper HNSW layers) — one matmul."""
+    n = rows.shape[0]
+    keys = np.array(_keyed_pairwise(rows, rows, metric))  # writable copy
+    np.fill_diagonal(keys, -np.inf)
+    take = min(r, n - 1)
+    nbrs = np.argsort(-keys, axis=1, kind="stable")[:, :take].astype(np.int32)
+    out = np.full((n, r), -1, dtype=np.int32)
+    out[:, :take] = nbrs
+    return out

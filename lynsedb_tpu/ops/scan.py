@@ -38,12 +38,19 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def scan_chunk_size(metric: Metric, n_pad: int) -> int:
-    c = MATMUL_CHUNK if metric in MATMUL_METRICS else ELEMWISE_CHUNK
-    if n_pad < c:
-        return n_pad
-    # n_pad is a multiple of ROW_BLOCK; both chunk sizes are too.
-    return c
+# score-matrix element budget for the single-shot path (B * N_pad f32)
+SINGLE_SHOT_BUDGET = 1 << 28  # 256M elems = 1 GB HBM scratch
+
+
+def scan_chunk_size(metric: Metric, n_pad: int, batch: int = 1) -> int:
+    if metric in MATMUL_METRICS:
+        # Matmul metrics materialize only (B, N) scores: single-shot lets XLA
+        # fuse matmul + top-k at full HBM bandwidth. Chunk only when the
+        # score matrix would be too large.
+        if batch * n_pad <= SINGLE_SHOT_BUDGET:
+            return n_pad
+        return MATMUL_CHUNK
+    return min(ELEMWISE_CHUNK, n_pad)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk", "ascending"))
@@ -305,7 +312,7 @@ class DeviceCorpus:
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         ct = self.transform(metric)
         valid = self.valid_mask(filter_mask)
-        chunk = scan_chunk_size(metric, self.n_pad)
+        chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
         return flat_search_step(
             q, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
         )
@@ -354,7 +361,7 @@ class DeviceCorpus:
         qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
         ct = self.transform(metric)
         valid = self.valid_mask(filter_mask)
-        chunk = scan_chunk_size(metric, self.n_pad)
+        chunk = scan_chunk_size(metric, self.n_pad, 1)
         scores = np.asarray(flat_scores(qt, ct, valid, metric=metric, chunk=chunk))[0]
         ok = ~np.isnan(scores)
         if metric.ascending:

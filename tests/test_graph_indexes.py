@@ -1,0 +1,140 @@
+"""DiskANN / HNSW graph index tests — recall floors mirror the reference
+gates (HNSW/DiskANN >= 0.90, gate_index_modes.py:269)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lynsedb_tpu.metrics import Metric
+from lynsedb_tpu.ops.graph import beam_search, build_vamana, exact_knn_graph
+
+
+def _recall(got, want):
+    g = set(int(i) for i in np.asarray(got).ravel() if i >= 0)
+    w = set(int(i) for i in want)
+    return len(g & w) / max(len(w), 1)
+
+
+def test_exact_knn_graph(rng):
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+    g = exact_knn_graph(jnp.asarray(x), Metric.L2, 5)
+    assert g.shape == (50, 5)
+    d = ((x[:, None] - x[None]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    want = np.argsort(d, axis=1)[:, :5]
+    assert np.array_equal(np.sort(g, axis=1), np.sort(want, axis=1))
+
+
+def test_beam_search_on_exact_graph(rng):
+    n, d = 500, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    graph = exact_knn_graph(jnp.asarray(x), Metric.L2, 12)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    keys, ids = beam_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(graph),
+        jnp.asarray([0], dtype=jnp.int32), jnp.ones(n, dtype=bool),
+        metric=Metric.L2, beam=48, max_steps=96, k=10,
+    )
+    ids = np.asarray(ids)
+    want = np.argsort(((x[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    total = sum(_recall(ids[i], want[i]) for i in range(4)) / 4
+    assert total >= 0.9
+
+
+def test_vamana_build_and_search(rng):
+    n, d = 2000, 24
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    graph = build_vamana(jnp.asarray(x), Metric.L2, r=12, l_build=48)
+    assert graph.shape == (n, 12)
+    assert (graph >= -1).all() and (graph < n).all()
+    # no self loops
+    assert not any(graph[i].tolist().count(i) for i in range(0, n, 97))
+    q = rng.normal(size=(8, d)).astype(np.float32)
+    keys, ids = beam_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(graph),
+        jnp.asarray([0], dtype=jnp.int32), jnp.ones(n, dtype=bool),
+        metric=Metric.L2, beam=64, max_steps=128, k=10,
+    )
+    ids = np.asarray(ids)
+    want = np.argsort(((x[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    total = sum(_recall(ids[i], want[i]) for i in range(8)) / 8
+    assert total >= 0.9, f"vamana recall {total:.3f}"
+
+
+@pytest.fixture(scope="module")
+def graph_data():
+    rng = np.random.default_rng(5)
+    n, d = 3000, 32
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(6, d)).astype(np.float32)
+    return data, queries
+
+
+@pytest.mark.parametrize("mode,kw", [
+    ("DISKANN-L2", {}),
+    ("DISKANN-IP", {}),
+    ("HNSW-L2", {"m": 16}),
+    ("HNSW-COS", {}),
+])
+def test_graph_index_recall(db, graph_data, mode, kw):
+    data, queries = graph_data
+    name = "g_" + mode.replace("-", "_").lower()
+    coll = db.require_collection(name, dim=32, drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index(mode, **kw)
+    metric = Metric.from_index_mode(mode)
+    if metric is Metric.L2:
+        want = np.argsort(((data[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    elif metric is Metric.IP:
+        want = np.argsort(-(queries @ data.T), axis=1)[:, :10]
+    else:  # cosine
+        dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        want = np.argsort(-(qn @ dn.T), axis=1)[:, :10]
+    total = 0.0
+    for i in range(len(queries)):
+        res = coll.search(queries[i], k=10, nprobe=80)
+        total += _recall(res.ids, want[i])
+    recall = total / len(queries)
+    assert recall >= 0.9, f"{mode} recall {recall:.3f}"
+
+
+def test_graph_index_filtered_and_deletes(db, graph_data):
+    data, queries = graph_data
+    coll = db.require_collection("g_filt", dim=32, drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data,
+             fields=[{"b": i % 2} for i in range(len(data))])
+    coll.commit()
+    coll.build_index("DISKANN-L2")
+    # selective filter falls back to exact scan; results respect it
+    res = coll.search(queries[0], k=20, where="b = 1")
+    assert all(i % 2 == 1 for i in res.ids.tolist())
+    # deletes disappear
+    target = int(np.argmin(((data - queries[1]) ** 2).sum(-1)))
+    coll.delete([target])
+    res = coll.search(queries[1], k=5, nprobe=64)
+    assert target not in res.ids.tolist()
+
+
+def test_graph_index_persist_and_tail(db, graph_data, rng):
+    data, queries = graph_data
+    coll = db.require_collection("g_persist", dim=32, drop_if_exists=True, default_index=None)
+    coll.add(list(range(1000)), vectors=data[:1000])
+    coll.commit()
+    coll.build_index("HNSW-L2")
+    # tail rows visible without rebuild
+    new = rng.normal(size=(1, 32)).astype(np.float32) + 9.0
+    coll.add([7777], vectors=new)
+    coll.commit()
+    res = coll.search(new[0], k=1)
+    assert res.ids[0] == 7777
+    # reload from disk
+    from lynsedb_tpu.engine.collection import Collection
+
+    eng = Collection(coll._engine.root, "g_persist")
+    assert eng._index is not None and eng._index.kind == "hnsw"
+    d2, i2 = eng._index.search(eng, queries[:1], 5, mask=None, nprobe=64)
+    assert i2.shape[1] == 5
+    eng.close()

@@ -162,5 +162,7 @@ def test_f16_storage(rng):
 
 def test_scan_chunk_size():
     assert scan_chunk_size(Metric.IP, 8192) == 8192
-    assert scan_chunk_size(Metric.IP, 1 << 20) == 131072
+    # matmul metrics go single-shot while the score matrix fits
+    assert scan_chunk_size(Metric.IP, 1 << 20, batch=1) == 1 << 20
+    assert scan_chunk_size(Metric.IP, 1 << 20, batch=1024) == 131072
     assert scan_chunk_size(Metric.L1, 1 << 20) == 8192

@@ -637,6 +637,9 @@ class Collection:
             elif self._aux_index is not None and not use_exact:
                 dists, ids = self._aux_index.search(self, q, k, nprobe=nprobe, mask=mask)
                 index_path = self._aux_index.kind
+            elif approx and metric.supports_flat_approx:
+                dists, ids = corpus.search_approx(q, k, metric, eps=eps, filter_mask=mask)
+                index_path = "approx_flat"
             else:
                 dists, ids = corpus.search(q, k, metric, filter_mask=mask)
             t2 = time.perf_counter()

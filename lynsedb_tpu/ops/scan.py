@@ -171,6 +171,74 @@ def unpack_search_step(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return dists, (hi << 12) | lo
 
 
+@partial(jax.jit, static_argnames=("metric", "k", "chunk"))
+def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
+                   *, metric: Metric, k: int, chunk: int):
+    """First-pass approximate top-k over a bf16 corpus copy (half the HBM
+    traffic of f32). Matmul metrics run bf16xbf16 with f32 accumulation;
+    the L1 family upcasts per chunk in-register."""
+    q16 = q.astype(jnp.bfloat16)
+    n_pad = x_bf16.shape[0]
+    ascending = metric.ascending
+
+    def score_block(xb):
+        if metric in (Metric.IP, Metric.L2, Metric.COSINE):
+            ip = jax.lax.dot_general(
+                q16, xb.T, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if metric is Metric.IP:
+                return ip
+            xf = xb.astype(jnp.float32)
+            x_sq = jnp.sum(xf * xf, axis=-1)
+            q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+            if metric is Metric.L2:
+                return jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
+            denom = jnp.sqrt(q_sq * x_sq[None, :])
+            return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+        xf = xb.astype(jnp.float32)
+        diff = jnp.abs(q[:, None, :] - xf[None, :, :])
+        if metric is Metric.L1:
+            return jnp.sum(diff, axis=-1)
+        if metric is Metric.CHEBYSHEV:
+            return jnp.max(diff, axis=-1)
+        if metric is Metric.CANBERRA:
+            den = jnp.abs(q[:, None, :]) + jnp.abs(xf[None, :, :])
+            return jnp.sum(jnp.where(den == 0.0, 0.0, diff / jnp.maximum(den, 1e-45)), axis=-1)
+        # bray-curtis
+        num = jnp.sum(diff, axis=-1)
+        den = jnp.sum(jnp.abs(q[:, None, :] + xf[None, :, :]), axis=-1)
+        return jnp.where(den == 0.0, jnp.where(num == 0.0, 0.0, jnp.inf),
+                         num / jnp.maximum(den, 1e-45))
+
+    n_chunks = n_pad // chunk
+    if n_chunks <= 1:
+        return masked_top_k(score_block(x_bf16), min(k, n_pad), ascending, valid)
+    n_main = n_chunks * chunk
+    kc = min(k, chunk)
+
+    def body(operand):
+        xb, v, base = operand
+        d, i = masked_top_k(score_block(xb), kc, ascending, v)
+        return d, (i + base[0]).astype(jnp.int32)
+
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
+    dists, ids = jax.lax.map(
+        body,
+        (x_bf16[:n_main].reshape(n_chunks, chunk, -1),
+         valid[:n_main].reshape(n_chunks, chunk), bases),
+    )
+    b = dists.shape[1]
+    dists = jnp.moveaxis(dists, 0, 1).reshape(b, n_chunks * kc)
+    ids = jnp.moveaxis(ids, 0, 1).reshape(b, n_chunks * kc)
+    if n_main < n_pad:
+        d_t, i_t = masked_top_k(score_block(x_bf16[n_main:]), min(k, n_pad - n_main),
+                                ascending, valid[n_main:])
+        dists = jnp.concatenate([dists, d_t], axis=1)
+        ids = jnp.concatenate([ids, (i_t + n_main).astype(jnp.int32)], axis=1)
+    return merge_top_k(dists, ids, min(k, n_pad), ascending)
+
+
 @partial(jax.jit, static_argnames=("metric",))
 def rescore_rows(q: jnp.ndarray, rows: jnp.ndarray, row_valid: jnp.ndarray, *, metric: Metric):
     """Exact distances from each query (B, D) to an explicit candidate row
@@ -343,6 +411,52 @@ class DeviceCorpus:
         """Top-k scan: one fused device dispatch + one host fetch. Returns
         (dists (B,k'), row_ids (B,k')) trimmed of invalid entries."""
         return self.search_submit(queries, k, metric, filter_mask)()
+
+    # ── approximate flat search (reference: storage/approx_search.rs) ───
+
+    APPROX_MIN_ROWS = 65_536  # engage threshold (approx_search.rs:49)
+
+    def search_approx(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metric: Metric,
+        eps: float = 1e-4,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Approximate two-pass scan: a full-dimension bfloat16 first pass
+        (half the HBM bytes of the f32 exact scan, so ~2x the bandwidth)
+        produces an oversampled shortlist that the f32 exact rescore refines.
+        Estimation error is ~2^-8 relative — far below typical score gaps —
+        so recall stays near-exact while eps controls the oversampling
+        cushion. Falls back to the exact scan below the engage threshold,
+        mirroring the reference (approx_search.rs:49)."""
+        if self.n <= self.APPROX_MIN_ROWS or not metric.supports_flat_approx:
+            return self.search(queries, k, metric, filter_mask)
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        n_pad = self.n_pad
+
+        cached = self._transforms.get("approx_bf16")
+        if cached is None or cached.shape[0] != n_pad:
+            cached = self._data[:n_pad].astype(jnp.bfloat16)
+            self._transforms["approx_bf16"] = cached
+
+        oversample = 4 if eps >= 1e-3 else (8 if eps >= 1e-5 else 16)
+        valid = self.valid_mask(filter_mask)
+        shortlist = min(max(k * oversample, k), n_pad)
+        d_s, i_s = bf16_flat_topk(
+            jnp.asarray(q), cached, valid,
+            metric=metric, k=shortlist,
+            chunk=scan_chunk_size(metric, n_pad, len(q)),
+        )
+        cand = np.asarray(i_s, dtype=np.int64)
+        exact = self.rescore(q, cand, metric)  # (B, shortlist)
+        keyed = np.where(np.isnan(exact), -np.inf, -exact if metric.ascending else exact)
+        order = np.argsort(-keyed, axis=1, kind="stable")[:, :k]
+        dists = np.take_along_axis(exact, order, axis=1).astype(np.float32)
+        ids = np.take_along_axis(cand, order, axis=1)
+        keep = np.isfinite(np.take_along_axis(keyed, order, axis=1))
+        return _trim_results(dists, ids, keep, k)
 
     def range_search(
         self,

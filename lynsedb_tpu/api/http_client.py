@@ -170,6 +170,34 @@ class Collection:
     def _post(self, endpoint: str, data: dict) -> dict:
         return self._client._post(endpoint, {"collection_name": self.name, **data})
 
+    def _binary_post(self, endpoint: str, payload: dict) -> dict:
+        """msgpack + raw-vector wire format (avoids JSON float costs —
+        reference: binary fast paths, client_api.py:726/1081)."""
+        import msgpack
+
+        body = msgpack.packb(
+            {
+                "database_name": self._client.database_name,
+                "collection_name": self.name,
+                **payload,
+            },
+            use_bin_type=True,
+        )
+        resp = self._client._session._session.post(
+            self._client._session.base_url + endpoint,
+            data=body,
+            headers={"Content-Type": "application/x-lynse-binary"},
+            timeout=self._client._session.timeout,
+        )
+        _raise_on_error(resp)
+        return msgpack.unpackb(resp.content, raw=False, strict_map_key=False)
+
+    @staticmethod
+    def _decode_binary_ids(payload: dict):
+        if payload.get("ids_binary") is not None:
+            return np.frombuffer(payload["ids_binary"], dtype=np.int64)
+        return _id_array(payload.get("ids") or [])
+
     # ── meta ─────────────────────────────────────────────────────────────
 
     @property
@@ -239,9 +267,24 @@ class Collection:
         field_list = attach_documents(normalize_fields(fields, n), docs)
         has_fields = any(f is not None for f in field_list)
 
+        int_ids = eids is not None and all(isinstance(e, int) for e in eids)
         added = []
         for i in range(0, n, batch_size):
             j = min(i + batch_size, n)
+            if int_ids or eids is None:
+                try:
+                    payload = {
+                        "vectors": vec[i:j].astype(np.float32).tobytes(),
+                        "dim": int(vec.shape[1]),
+                    }
+                    if eids is not None:
+                        payload["ids"] = np.asarray(eids[i:j], dtype=np.int64).tobytes()
+                    if has_fields:
+                        payload["fields"] = field_list[i:j]
+                    added.extend(self._binary_post("/bulk_add_binary", payload)["ids"])
+                    continue
+                except Exception:
+                    pass  # JSON fallback below
             data = {"vectors": vec[i:j].tolist()}
             if eids is not None:
                 data["ids"] = eids[i:j]
@@ -450,19 +493,43 @@ class Collection:
         need_fields = should_fetch_fields(
             return_fields=return_fields, reranker=reranker, rerank_with_fields=rerank_with_fields
         )
-        items = self._post(
-            "/search",
-            {
-                "vector": vec.tolist(),
-                "vector_field": vector_field,
-                "k": k,
-                "where": where,
-                "return_fields": need_fields,
-                "nprobe": nprobe,
-                "approx": approx,
-                "eps": float(eps),
-            },
-        )["items"]
+        try:
+            # binary fast path: raw f32 vector out, int64 ids + f32 dists back
+            out = self._binary_post(
+                "/search_binary",
+                {
+                    "vector": vec.astype(np.float32).tobytes(),
+                    "dim": int(vec.shape[0]),
+                    "vector_field": vector_field,
+                    "k": k,
+                    "where": where,
+                    "return_fields": need_fields,
+                    "nprobe": nprobe,
+                    "approx": approx,
+                    "eps": float(eps),
+                },
+            )
+            items = {
+                "ids": self._decode_binary_ids(out).tolist(),
+                "scores": np.frombuffer(out["distances"], dtype=np.float32).tolist(),
+                "fields": out.get("fields", []),
+                "index_mode": out.get("index_mode"),
+            }
+        except Exception:
+            # JSON fallback (older servers / coordinators without the binary route)
+            items = self._post(
+                "/search",
+                {
+                    "vector": vec.tolist(),
+                    "vector_field": vector_field,
+                    "k": k,
+                    "where": where,
+                    "return_fields": need_fields,
+                    "nprobe": nprobe,
+                    "approx": approx,
+                    "eps": float(eps),
+                },
+            )["items"]
         return self._finish(
             items,
             return_fields=return_fields,

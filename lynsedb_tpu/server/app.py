@@ -214,6 +214,15 @@ class LynseServer:
         r.add_post("/flush", self.flush)
         r.add_post("/checkpoint", self.checkpoint)
         r.add_post("/close_collection", self.close_collection)
+        # binary wire protocol (raw little-endian vectors + msgpack envelope —
+        # reference: server/mod.rs search_binary :4649, bulk_add_binary)
+        r.add_post("/search_binary", self.search_binary)
+        r.add_post("/batch_search_binary", self.batch_search_binary)
+        r.add_post("/bulk_add_binary", self.bulk_add_binary)
+        r.add_post("/add_records_binary", self.bulk_add_binary)
+        r.add_post("/upsert_records_binary", self.upsert_records_binary)
+        r.add_get("/head_binary", self.head_binary)
+        r.add_get("/tail_binary", self.tail_binary)
         # cluster metadata KV
         r.add_post("/cluster_metadata/get", self.cluster_metadata_get)
         r.add_post("/cluster_metadata/cas", self.cluster_metadata_cas)
@@ -808,6 +817,134 @@ class LynseServer:
         if coll is not None:
             await self._run(coll.close)
         return _success()
+
+    # ── binary wire protocol ─────────────────────────────────────────────
+
+    @staticmethod
+    def _decode_wire_vectors(blob: bytes, dim: int, wire_dtype: str) -> np.ndarray:
+        dtype = np.float16 if wire_dtype == "float16" else np.float32
+        return np.frombuffer(blob, dtype=dtype).reshape(-1, dim).astype(np.float32)
+
+    async def _binary_body(self, request) -> dict:
+        import msgpack
+
+        raw = await request.read()
+        return msgpack.unpackb(raw, raw=False, strict_map_key=False)
+
+    @staticmethod
+    def _binary_response(payload: dict) -> web.Response:
+        import msgpack
+
+        return web.Response(
+            body=msgpack.packb(payload, use_bin_type=True),
+            content_type="application/x-lynse-binary",
+        )
+
+    async def search_binary(self, request):
+        body = await self._binary_body(request)
+        coll = self._coll(body)
+        k = self._check_k(body.get("k", 10))
+        vec = self._decode_wire_vectors(
+            body["vector"], body["dim"], body.get("wire_dtype", "float32")
+        )[0]
+        result = await self._run(
+            coll.search, vec, k,
+            where=body.get("where"),
+            field_name=body.get("vector_field", "default"),
+            nprobe=int(body.get("nprobe", 10)),
+            approx=bool(body.get("approx", False)),
+            eps=float(body.get("eps", 1e-4)),
+        )
+        target = coll if body.get("vector_field", "default") == "default" else coll.vector_field(body["vector_field"])
+        eids = target.internal_to_external(result.ids)
+        int_safe = all(isinstance(e, int) for e in eids)
+        payload = {
+            "ids_binary": np.asarray(eids, dtype=np.int64).tobytes() if int_safe else None,
+            "ids": None if int_safe else eids,
+            "distances": np.asarray(result.distances, dtype=np.float32).tobytes(),
+            "fields": (
+                [coll.fields.retrieve(int(i)) for i in result.ids]
+                if body.get("return_fields") else []
+            ),
+            "index_mode": coll.index_mode,
+        }
+        return self._binary_response(payload)
+
+    async def batch_search_binary(self, request):
+        body = await self._binary_body(request)
+        coll = self._coll(body)
+        k = self._check_k(body.get("k", 10))
+        vecs = self._decode_wire_vectors(
+            body["vectors"], body["dim"], body.get("wire_dtype", "float32")
+        )
+        res = await self._run(
+            coll.batch_search, vecs, k,
+            where=body.get("where"), nprobe=int(body.get("nprobe", 10)),
+        )
+        out = []
+        for b in range(len(vecs)):
+            eids = coll.internal_to_external(res.ids[b])
+            int_safe = all(isinstance(e, int) for e in eids)
+            out.append(
+                {
+                    "ids_binary": np.asarray(eids, dtype=np.int64).tobytes() if int_safe else None,
+                    "ids": None if int_safe else eids,
+                    "distances": np.asarray(res.distances[b], dtype=np.float32).tobytes(),
+                }
+            )
+        return self._binary_response({"results": out, "index_mode": coll.index_mode})
+
+    async def bulk_add_binary(self, request):
+        body = await self._binary_body(request)
+        coll = self._coll(body)
+        vectors = self._decode_wire_vectors(
+            body["vectors"], body["dim"], body.get("wire_dtype", "float32")
+        )
+        self._check_add_limits(coll, len(vectors))
+        ids = body.get("ids")
+        if isinstance(ids, bytes):
+            ids = np.frombuffer(ids, dtype=np.int64).tolist()
+        if ids is None:
+            start = coll.max_id() + 1
+            ids = list(range(start, start + len(vectors)))
+        added = await self._run(coll.add_records, vectors, ids, body.get("fields"))
+        return self._binary_response({"ids": added})
+
+    async def upsert_records_binary(self, request):
+        body = await self._binary_body(request)
+        coll = self._coll(body)
+        vectors = self._decode_wire_vectors(
+            body["vectors"], body["dim"], body.get("wire_dtype", "float32")
+        )
+        ids = body["ids"]
+        if isinstance(ids, bytes):
+            ids = np.frombuffer(ids, dtype=np.int64).tolist()
+        out = await self._run(coll.upsert_items, vectors, ids, body.get("fields"))
+        return self._binary_response({"ids": out})
+
+    async def head_binary(self, request):
+        return await self._head_tail_binary(request, head=True)
+
+    async def tail_binary(self, request):
+        return await self._head_tail_binary(request, head=False)
+
+    async def _head_tail_binary(self, request, head: bool):
+        q = request.rel_url.query
+        coll = self.manager.get_collection(q["database_name"], q["collection_name"])
+        n = int(q.get("n", 5))
+        iids = coll.head_ids(n) if head else coll.tail_ids(n)
+        vectors = await self._run(coll.get_vectors, iids)
+        eids = coll.internal_to_external(iids)
+        int_safe = all(isinstance(e, int) for e in eids)
+        return self._binary_response(
+            {
+                "ids_binary": np.asarray(eids, dtype=np.int64).tobytes() if int_safe else None,
+                "ids": None if int_safe else eids,
+                "vectors": vectors.astype(np.float32).tobytes(),
+                "dim": int(vectors.shape[1]) if vectors.size else (coll.dim or 0),
+                "fields": [coll.fields.retrieve(int(i)) for i in iids],
+            }
+        )
 
     # ── cluster metadata KV (reference: server/mod.rs:2553-2582) ────────
 

@@ -60,9 +60,13 @@ class IdMap:
                 if op == 0:
                     self._fwd[eid] = iid
                     self._rev[iid] = eid
-                else:
+                elif op == 1:
                     self._fwd.pop(eid, None)
                     self._rev.pop(iid, None)
+                elif op == 2:  # range insert: eid is a list, iid the start
+                    for off, e in enumerate(eid):
+                        self._fwd[e] = iid + off
+                        self._rev[iid + off] = e
                 pos += _REC.size + blen
 
     def _log(self, op: int, eid, iid: int, flush: bool = True) -> None:
@@ -80,13 +84,15 @@ class IdMap:
         self._log(0, eid, iid)
 
     def insert_many(self, eids, start_iid: int) -> None:
-        """Bulk insert of contiguous internal ids; one buffered flush."""
+        """Bulk insert of contiguous internal ids; a single range log record
+        (op=2) instead of one record per id."""
+        eids = [normalize_external_id(e) for e in eids]
         for off, eid in enumerate(eids):
-            eid = normalize_external_id(eid)
             iid = start_iid + off
             self._fwd[eid] = iid
             self._rev[iid] = eid
-            self._log(0, eid, iid, flush=False)
+        body = msgpack.packb([2, eids, start_iid], use_bin_type=True)
+        self._log_fh.write(_REC.pack(len(body), zlib.crc32(body)) + body)
         self._log_fh.flush()
 
     def remove(self, eid) -> None:

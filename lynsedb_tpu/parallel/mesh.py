@@ -24,11 +24,25 @@ from ..ops import distance as D
 from ..ops.topk import masked_top_k, merge_top_k
 
 
-def make_mesh(n_devices: int | None = None, data_axis: int = 1) -> Mesh:
-    """Build a (data, corpus) mesh over available devices."""
-    devs = jax.devices()
-    n = n_devices or len(devs)
-    devs = np.array(devs[:n]).reshape(data_axis, n // data_axis)
+def make_mesh(
+    n_devices: int | None = None,
+    data_axis: int = 1,
+    devices=None,
+    platform: str | None = None,
+) -> Mesh:
+    """Build a (data, corpus) mesh over available devices.
+
+    ``devices`` supplies an explicit device list; otherwise ``platform``
+    selects one (e.g. ``"cpu"`` for a virtual host mesh — pass it explicitly
+    rather than relying on JAX_PLATFORMS, which hardware plugins can win
+    over). Defaults to the default backend's devices.
+    """
+    if devices is None:
+        devices = jax.devices(platform) if platform else jax.devices()
+    n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    devs = np.array(devices[:n]).reshape(data_axis, n // data_axis)
     return Mesh(devs, axis_names=("data", "corpus"))
 
 

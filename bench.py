@@ -97,9 +97,9 @@ def main() -> None:
             f"p95 {p95:.3f} | QPS {1e3 / seq_ms:,.0f}"
         )
 
-        # ── pipelined single-query stream (headline): per-query device
-        #    latency with a window of in-flight searches ─────────────────
-        coll.search_stream(queries[:8], k=K)  # warm
+        # ── pipelined single-query stream (headline): queries micro-batched
+        #    into windows, up to two windows in flight ──────────────────────
+        coll.search_stream(queries[:16], k=K, window=16)  # warm window shape
         t0 = time.perf_counter()
         results = coll.search_stream(queries, k=K, window=16)
         stream_s = time.perf_counter() - t0
@@ -110,18 +110,21 @@ def main() -> None:
             f"QPS {1e3 / mean_ms:,.0f}"
         )
 
-        # ── batched throughput (amortized HBM reads) ─────────────────────
+        # ── batched throughput (amortized HBM reads; fresh queries per rep
+        #    so transport-level memoization can't flatter the numbers) ─────
         for batch in (16, 64):
-            qb = queries[:batch]
-            coll.batch_search(qb, k=K)  # compile
-            t0 = time.perf_counter()
+            coll.batch_search(queries[:batch], k=K)  # compile
             reps = 5
-            for _ in range(reps):
-                coll.batch_search(qb, k=K)
+            qsets = [
+                rng.normal(size=(batch, D)).astype(np.float32) for _ in range(reps)
+            ]
+            t0 = time.perf_counter()
+            for r in range(reps):
+                coll.batch_search(qsets[r], k=K)
             dt = (time.perf_counter() - t0) / reps
             log(f"batch_search B={batch}: {dt * 1e3:.2f} ms/batch = {batch / dt:,.0f} QPS")
 
-        # ── filtered search ───────────────────────────────────────────────
+        # ── filtered search (10% bucket: gather-then-scan compact path) ──
         coll2 = db.require_collection("vf", dim=D, drop_if_exists=True)
         m = min(N, 100_000)
         chunk = rng.normal(size=(m, D)).astype(np.float32)
@@ -133,7 +136,12 @@ def main() -> None:
         for i in range(20):
             coll2.search(queries[i], k=K, where="bucket = 3")
         filt_ms = (time.perf_counter() - t0) / 20 * 1e3
-        log(f"filtered search 100k (bucket=3): {filt_ms:.3f} ms")
+        log(f"filtered search sequential (bucket=3): {filt_ms:.3f} ms")
+        coll2.search_stream(queries[:16], k=K, where="bucket = 3", window=16)
+        t0 = time.perf_counter()
+        coll2.search_stream(queries[:96], k=K, where="bucket = 3", window=16)
+        filt_stream_ms = (time.perf_counter() - t0) / 96 * 1e3
+        log(f"filtered search pipelined (bucket=3): {filt_stream_ms:.3f} ms/query")
 
         client.close()
 

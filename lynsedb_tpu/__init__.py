@@ -8,10 +8,37 @@ indexing core rebuilt as a JAX/XLA/Pallas engine.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Union
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: fresh processes reuse compiled scan
+    executables, collapsing the cold-start compile (reference startup is
+    2 ms — an embedded mmap open; ours must at least not pay full XLA
+    compiles every boot). Opt out with LYNSE_TPU_COMPILE_CACHE=0."""
+    flag = os.environ.get("LYNSE_TPU_COMPILE_CACHE", "1")
+    if flag in ("0", "false", "no"):
+        return
+    cache_dir = os.environ.get(
+        "LYNSE_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "lynsedb_tpu", "xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_compilation_cache()
 
 from .metrics import Metric  # noqa: F401
 from .result_view import ResultView  # noqa: F401

@@ -26,7 +26,7 @@ from typing import Any, Optional
 import numpy as np
 
 from ..metrics import Metric
-from ..ops.scan import DeviceCorpus
+from ..ops.scan import DeviceCorpus, FilterHandle
 from ..storage.bitset import BitSet
 from ..storage.field_store import FieldStore
 from ..storage.idmap import IdMap, normalize_external_id
@@ -140,6 +140,10 @@ class Collection:
         self._corpus: Optional[DeviceCorpus] = None
         self._device_rows = 0
         self._tombs_dirty = True
+
+        # where-string -> FilterHandle cache, invalidated by write version
+        self._write_version = 0
+        self._filter_cache: dict[str, tuple[int, int, FilterHandle]] = {}
 
         # secondary indexes (IVF/SPANN/HNSW/DiskANN/PQ/... ) — set by build_index
         self._index = None
@@ -273,6 +277,7 @@ class Collection:
         (reference: engine.rs:3953 add_records)."""
         with self._lock:
             self._check_writable()
+            self._write_version += 1
             vectors = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
             self._ensure_dim(vectors)
             n = vectors.shape[0]
@@ -337,6 +342,7 @@ class Collection:
         """Overwrite-or-insert by external ID (reference: engine.rs:5949)."""
         with self._lock:
             self._check_writable()
+            self._write_version += 1
             vectors = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
             self._ensure_dim(vectors)
             n = vectors.shape[0]
@@ -373,6 +379,7 @@ class Collection:
         """Update metadata fields only (reference: engine.rs:6072)."""
         with self._lock:
             self._check_writable()
+            self._write_version += 1
             iids, flist = [], []
             for e, f in zip(external_ids, fields):
                 iid = self.idmap.get_internal(e)
@@ -389,6 +396,7 @@ class Collection:
     def delete_items(self, external_ids) -> int:
         with self._lock:
             self._check_writable()
+            self._write_version += 1
             iids = []
             for e in external_ids:
                 iid = self.idmap.get_internal(e)
@@ -404,6 +412,7 @@ class Collection:
     def restore_items(self, external_ids) -> int:
         with self._lock:
             self._check_writable()
+            self._write_version += 1
             iids = []
             for e in external_ids:
                 iid = self.idmap.get_internal(e)
@@ -437,6 +446,9 @@ class Collection:
             if self._sparse is not None:
                 self._sparse.save()
             self.wal.cleanup()
+            if self._corpus is not None:
+                self.corpus()  # stage any pending rows, then trim growth slack
+                self._corpus.finalize()
             if self._index is not None:
                 self._index.on_commit(self)
             if self._aux_index is not None:
@@ -455,6 +467,9 @@ class Collection:
             if self._sparse is not None:
                 self._sparse.save()
             self.wal.cleanup()
+            if self._corpus is not None:
+                self.corpus()  # stage any pending rows, then trim growth slack
+                self._corpus.finalize()
             if self._index is not None:
                 self._index.on_commit(self)
             if self._aux_index is not None:
@@ -535,10 +550,16 @@ class Collection:
             "DISKANN": "DiskANN",
         }.get(family, family)
 
-    def resolve_filter(self, where: Optional[str], filter_ids=None) -> Optional[np.ndarray]:
-        """where string + optional external-ID allowlist -> row mask
-        (reference: engine.rs:3097 resolve_where_subset)."""
+    def resolve_filter(self, where: Optional[str], filter_ids=None) -> Optional[FilterHandle]:
+        """where string + optional external-ID allowlist -> cached filter
+        handle (reference: engine.rs:3097 resolve_where_subset). Handles are
+        cached per where-string and invalidated by the write version, so
+        repeated filtered queries pay no mask rebuild or device re-upload."""
         n = self.n_rows
+        if where and filter_ids is None:
+            cached = self._filter_cache.get(where)
+            if cached is not None and cached[0] == self._write_version and cached[1] == n:
+                return cached[2]
         mask = None
         if where:
             m = self.fields.query_mask(where)
@@ -552,7 +573,14 @@ class Collection:
                 if iid is not None and iid < n:
                     m2[iid] = True
             mask = m2 if mask is None else (mask & m2)
-        return mask
+        if mask is None:
+            return None
+        handle = FilterHandle(mask)
+        if where and filter_ids is None:
+            if len(self._filter_cache) >= 32:
+                self._filter_cache.pop(next(iter(self._filter_cache)))
+            self._filter_cache[where] = (self._write_version, n, handle)
+        return handle
 
     def search(
         self,
@@ -624,32 +652,36 @@ class Collection:
                     index_type=self.index_type,
                 )
 
-            mask = self.resolve_filter(where, filter_ids)
+            handle = self.resolve_filter(where, filter_ids)
             t1 = time.perf_counter()
             corpus = self.corpus()
             index_path = "flat"
-            subset = int(mask.sum()) if mask is not None else self.n_rows
+            subset = handle.count if handle is not None else self.n_rows
 
-            use_exact = mask is not None and should_use_exact_filtered_search(subset, self.n_rows)
+            use_exact = handle is not None and should_use_exact_filtered_search(subset, self.n_rows)
             if self._index is not None and not use_exact:
-                dists, ids = self._index.search(self, q, k, mask=mask, nprobe=nprobe)
+                dists, ids = self._index.search(
+                    self, q, k, mask=handle.mask if handle else None, nprobe=nprobe
+                )
                 index_path = self._index.kind
             elif self._aux_index is not None and not use_exact:
-                dists, ids = self._aux_index.search(self, q, k, nprobe=nprobe, mask=mask)
+                dists, ids = self._aux_index.search(
+                    self, q, k, nprobe=nprobe, mask=handle.mask if handle else None
+                )
                 index_path = self._aux_index.kind
             elif approx and metric.supports_flat_approx:
-                dists, ids = corpus.search_approx(q, k, metric, eps=eps, filter_mask=mask)
+                dists, ids = corpus.search_approx(q, k, metric, eps=eps, filter_mask=handle)
                 index_path = "approx_flat"
             else:
-                dists, ids = corpus.search(q, k, metric, filter_mask=mask)
+                dists, ids = corpus.search(q, k, metric, filter_mask=handle)
             t2 = time.perf_counter()
 
             prof = None
             if profile:
                 prof = QueryProfile(
                     index_path=index_path,
-                    filter_matches=subset if mask is not None else self.n_rows,
-                    scanned_vectors=subset if mask is not None else self.n_rows,
+                    filter_matches=subset,
+                    scanned_vectors=subset,
                     filter_us=int((t1 - t0) * 1e6),
                     search_us=int((t2 - t1) * 1e6),
                     total_us=int((t2 - t0) * 1e6),
@@ -670,47 +702,53 @@ class Collection:
         where: Optional[str] = None,
         window: int = 8,
     ) -> list[SearchResult]:
-        """Pipelined single-query stream over the flat scan path: keeps up to
-        ``window`` searches in flight so per-query cost approaches device
-        time rather than host-sync round trips. Falls back to sequential
-        searches when an ANN/aux index is active."""
+        """Pipelined single-query stream over the flat scan path: queries are
+        dynamically micro-batched into windows (the TPU-native serving shape
+        — one H2D upload, one fused batched dispatch, one fetch per window),
+        and up to two windows stay in flight so the host decode/rescore of
+        one window overlaps the device scan of the next. Falls back to
+        sequential searches when an ANN/aux index is active."""
         q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
         if self._index is not None or self._aux_index is not None or self.n_rows == 0:
             return [self.search(q[i], k, where=where) for i in range(len(q))]
         with self._lock:
-            import jax.numpy as jnp
-
-            from ..ops.scan import decode_packed
-
             metric = self.metric
-            mask = self.resolve_filter(where)
+            handle = self.resolve_filter(where)
             corpus = self.corpus()
-            pending: list = []
+            window = max(1, int(window))
+            in_flight: list = []
             results: list[SearchResult] = []
 
-            def drain_group():
-                # one stacked device->host fetch for the whole window: the
-                # transport charges per sync, not per byte, at these sizes
-                if not pending:
-                    return
-                stacked = np.asarray(jnp.concatenate(pending, axis=0))
-                pending.clear()
-                for row in range(stacked.shape[0]):
-                    dists, ids = decode_packed(stacked[row : row + 1], k, metric)
+            def drain_one():
+                resolver, live_rows = in_flight.pop(0)
+                dists, ids = resolver()
+                for row in range(live_rows):
+                    live = ids[row] >= 0
                     results.append(
                         SearchResult(
-                            ids=ids[0],
-                            distances=dists[0],
+                            ids=ids[row][live],
+                            distances=dists[row][live],
                             distance_metric=metric.display_name,
                             index_type=self.index_type,
                         )
                     )
 
-            for i in range(len(q)):
-                pending.append(corpus.search_packed(q[i : i + 1], k, metric, filter_mask=mask))
-                if len(pending) >= window:
-                    drain_group()
-            drain_group()
+            for s in range(0, len(q), window):
+                chunk = q[s : s + window]
+                live_rows = chunk.shape[0]
+                if live_rows < window:
+                    # pad the final window to the common shape: one compiled
+                    # executable serves every window, and padded rows ride a
+                    # dispatch that is charged per chain, not per row
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((window - live_rows, chunk.shape[1]), chunk.dtype)]
+                    )
+                resolver = corpus.search_submit(chunk, k, metric, filter_mask=handle)
+                in_flight.append((resolver, live_rows))
+                if len(in_flight) > 2:
+                    drain_one()
+            while in_flight:
+                drain_one()
             return results
 
     def search_range(self, vector, threshold: float, max_results: int = 1000, where=None):
@@ -749,9 +787,8 @@ class Collection:
         """Metadata query: internal row ids passing the filter, live only."""
         with self._lock:
             n = self.n_rows
-            mask = self.resolve_filter(where, filter_ids)
-            if mask is None:
-                mask = np.ones(n, dtype=bool)
+            handle = self.resolve_filter(where, filter_ids)
+            mask = np.ones(n, dtype=bool) if handle is None else handle.mask.copy()
             tombs = self.tombstones.to_bool_array(n)
             mask &= ~tombs
             ids = np.nonzero(mask)[0]
@@ -801,6 +838,7 @@ class Collection:
         Returns the number of rows reclaimed."""
         with self._lock:
             self._check_writable()
+            self._write_version += 1
             self._flush_pending()
             n = self.n_rows
             tombs = self.tombstones.to_bool_array(n)

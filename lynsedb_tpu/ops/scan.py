@@ -2,12 +2,27 @@
 
 This replaces the reference's mmap scan engine (reference:
 src/storage/flat_mmap.rs — rayon-chunked SIMD scan with per-thread top-k and
-merge, :1173/:4876). The TPU formulation: the corpus lives in HBM as one
-padded device array; a search is a chunked scan where each chunk computes a
-(B, C) distance block (MXU matmul for the dot-product family, VPU lanes
-otherwise), takes a per-chunk top-k in registers/VMEM, and the per-chunk
-winners merge with one final ``lax.top_k``. ``lax.map`` sequences the chunks
-so peak memory stays bounded while XLA pipelines HBM reads.
+merge, :1173/:4876). The TPU formulation:
+
+  * The corpus lives in HBM **bfloat16** (half the bytes of f32, so twice
+    the scan bandwidth) plus an exact **f32 mirror in host RAM** (the moral
+    equivalent of the reference's mmap bytes).
+  * The default search for the dot-product family is **two-pass**: one fused
+    bf16 matmul + masked top-C shortlist on device (a single dispatch, a
+    single small fetch), then an exact f32 rescore of the C candidates on
+    the host mirror. Final distances are exact f32; the shortlist is 4-16x
+    oversampled so selection recall is ~1.0 (gated at 0.999, the reference's
+    own exact-flat floor). ``mode="exact"`` forces the one-pass f32 scan
+    (reference parity path), which lazily stages an f32 corpus copy.
+  * Selective filters switch to **gather-then-scan**: candidate row indices
+    gather a compact block on device and only that block is scanned
+    (reference policy: engine.rs:95-102 should_use_exact_filtered_search).
+  * Validity/tombstone masks and filter index blocks are cached on device
+    and invalidated by an epoch counter, so steady-state search is one
+    dispatch with zero per-query host re-uploads.
+
+Capacity grows geometrically (O(log n) compile shapes); ``finalize()`` trims
+to the occupied prefix at commit boundaries.
 """
 
 from __future__ import annotations
@@ -17,6 +32,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from ..metrics import MATMUL_METRICS, Metric
@@ -27,19 +43,28 @@ from .topk import masked_top_k, merge_top_k
 # MXU/VPU lane width keeps every chunk fully tiled.
 ROW_BLOCK = 8192
 
-# Chunk sizes for the lax.map scan: matmul metrics touch (C, D) + (B, C) per
-# step; elementwise metrics materialize (B, C, D) lanes, so they use smaller
-# chunks.
+# Chunk sizes for the lax.map scan fallbacks: matmul metrics touch (C, D) +
+# (B, C) per step; elementwise metrics materialize (B, C, D) lanes, so they
+# use smaller chunks.
 MATMUL_CHUNK = 131072
 ELEMWISE_CHUNK = 8192
+
+# score-matrix element budget for the single-shot path (B * N_pad f32)
+SINGLE_SHOT_BUDGET = 1 << 28  # 256M elems = 1 GB HBM scratch
+
+# Metrics served by the bf16 first pass + exact f32 host rescore.
+TWO_PASS_METRICS = (Metric.IP, Metric.L2, Metric.COSINE)
+# Below this row count the one-pass f32 exact scan wins (tiny compile, tiny
+# data) and keeps unit-scale behavior bit-deterministic.
+TWO_PASS_MIN_ROWS = 4096
+
+# Filtered-search policy thresholds (reference: engine.rs:95-102): a subset
+# this selective is gathered into a compact block instead of masked-scanned.
+GATHER_MAX_ROWS = 100_000
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
-
-
-# score-matrix element budget for the single-shot path (B * N_pad f32)
-SINGLE_SHOT_BUDGET = 1 << 28  # 256M elems = 1 GB HBM scratch
 
 
 def scan_chunk_size(metric: Metric, n_pad: int, batch: int = 1) -> int:
@@ -51,6 +76,32 @@ def scan_chunk_size(metric: Metric, n_pad: int, batch: int = 1) -> int:
             return n_pad
         return MATMUL_CHUNK
     return min(ELEMWISE_CHUNK, n_pad)
+
+
+# ── id packing ────────────────────────────────────────────────────────────
+# Int ids are encoded as *normal* f32 values (a raw bitcast of small ints
+# makes denormals, which the TPU flushes to zero in transit): 12-bit lo + hi
+# halves are exactly representable and cover ids up to 2^31.
+
+
+def _pack_ids(dists: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    ids = ids.astype(jnp.int32)
+    hi = (ids >> 12).astype(jnp.float32)
+    lo = (ids & 0xFFF).astype(jnp.float32)
+    return jnp.concatenate([dists, hi, lo], axis=-1)
+
+
+def unpack_search_step(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side decode of a packed (B, 3k) search result."""
+    packed = np.asarray(packed)
+    k = packed.shape[-1] // 3
+    dists = packed[:, :k].astype(np.float32)
+    hi = packed[:, k : 2 * k].astype(np.int64)
+    lo = packed[:, 2 * k :].astype(np.int64)
+    return dists, (hi << 12) | lo
+
+
+# ── fused one-pass f32 exact kernels (reference parity path) ─────────────
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk", "ascending"))
@@ -145,57 +196,89 @@ def flat_search_step(
     chunk: int,
     ascending: bool,
 ) -> jnp.ndarray:
-    """Fully-fused single-dispatch search: raw queries in, one packed f32
-    array out — (B, 2*k') with distances in [:, :k'] and row ids bitcast into
-    [:, k':]. One dispatch + one host fetch per search keeps per-query
-    overhead at the transport floor (the remote-TPU relay charges ~30 ms per
-    host sync regardless of work, so fusing matters more than FLOPs here)."""
+    """Fully-fused single-dispatch f32 search: raw queries in, one packed
+    (B, 3k) f32 array out (distances, id-hi, id-lo)."""
     qt = D.query_transform(q, metric)
     dists, ids = flat_topk(qt, ct, valid, metric=metric, k=k, chunk=chunk, ascending=ascending)
-    # Encode int ids as *normal* f32 values (a raw bitcast of small ints makes
-    # denormals, which the TPU flushes to zero in transit): 12-bit lo + hi
-    # halves are exactly representable and cover ids up to 2^31.
-    ids = ids.astype(jnp.int32)
-    hi = (ids >> 12).astype(jnp.float32)
-    lo = (ids & 0xFFF).astype(jnp.float32)
-    return jnp.concatenate([dists, hi, lo], axis=-1)
+    return _pack_ids(dists, ids)
 
 
-def unpack_search_step(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side decode of flat_search_step output."""
-    packed = np.asarray(packed)
-    k = packed.shape[-1] // 3
-    dists = packed[:, :k].astype(np.float32)
-    hi = packed[:, k : 2 * k].astype(np.int64)
-    lo = packed[:, 2 * k :].astype(np.int64)
-    return dists, (hi << 12) | lo
+# ── fused bf16 first-pass kernels ─────────────────────────────────────────
+
+
+def _bf16_scores(q: jnp.ndarray, x16: jnp.ndarray, x_sq: jnp.ndarray, metric: Metric):
+    """(B, C) proxy scores from a bf16 corpus block. ``x_sq`` is the
+    precomputed f32 row-norm vector (ignored for IP; XLA DCEs the input)."""
+    q16 = q.astype(jnp.bfloat16)
+    ip = jax.lax.dot_general(
+        q16, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.IP:
+        return ip
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    if metric is Metric.L2:
+        return jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
+    # cosine
+    denom = jnp.sqrt(q_sq * x_sq[None, :])
+    return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "ascending"))
+def bf16_pass_packed(
+    q: jnp.ndarray,
+    x16: jnp.ndarray,
+    x_sq: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    """Single-dispatch bf16 first pass over the full corpus: packed (B, 3k)."""
+    scores = _bf16_scores(q, x16, x_sq, metric)
+    d, i = masked_top_k(scores, k, ascending, valid)
+    return _pack_ids(d, i)
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "ascending"))
+def bf16_gather_pass_packed(
+    q: jnp.ndarray,
+    x16: jnp.ndarray,
+    idx: jnp.ndarray,
+    idx_valid: jnp.ndarray,
+    x_sq: jnp.ndarray,
+    base_valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    """Gather-then-scan first pass: only the ``idx`` rows (S_pad of them,
+    padded with idx_valid=False) are scored. ``base_valid`` carries the
+    in-range/tombstone mask of the full corpus. Returned ids are LOCAL
+    subset positions; the caller maps them back through its index list."""
+    rows = jnp.take(x16, idx, axis=0)  # (S_pad, D) device gather
+    row_sq = jnp.take(x_sq, idx, axis=0)
+    ok = idx_valid & jnp.take(base_valid, idx, axis=0)
+    scores = _bf16_scores(q, rows, row_sq, metric)
+    d, i = masked_top_k(scores, k, ascending, ok)
+    return _pack_ids(d, i)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk"))
 def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
                    *, metric: Metric, k: int, chunk: int):
-    """First-pass approximate top-k over a bf16 corpus copy (half the HBM
-    traffic of f32). Matmul metrics run bf16xbf16 with f32 accumulation;
-    the L1 family upcasts per chunk in-register."""
-    q16 = q.astype(jnp.bfloat16)
+    """Chunked approximate top-k over a bf16 corpus copy for the L1 family
+    (elementwise lanes upcast per chunk in-register). The matmul family uses
+    :func:`bf16_pass_packed` instead."""
     n_pad = x_bf16.shape[0]
     ascending = metric.ascending
 
     def score_block(xb):
         if metric in (Metric.IP, Metric.L2, Metric.COSINE):
-            ip = jax.lax.dot_general(
-                q16, xb.T, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if metric is Metric.IP:
-                return ip
-            xf = xb.astype(jnp.float32)
-            x_sq = jnp.sum(xf * xf, axis=-1)
-            q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
-            if metric is Metric.L2:
-                return jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
-            denom = jnp.sqrt(q_sq * x_sq[None, :])
-            return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+            x_sq = jnp.sum(xb.astype(jnp.float32) ** 2, axis=-1)
+            return _bf16_scores(q, xb, x_sq, metric)
         xf = xb.astype(jnp.float32)
         diff = jnp.abs(q[:, None, :] - xf[None, :, :])
         if metric is Metric.L1:
@@ -242,8 +325,8 @@ def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
 @partial(jax.jit, static_argnames=("metric",))
 def rescore_rows(q: jnp.ndarray, rows: jnp.ndarray, row_valid: jnp.ndarray, *, metric: Metric):
     """Exact distances from each query (B, D) to an explicit candidate row
-    block (B, C, D) — the rescore step behind quantized/ANN shortlists
-    (reference: src/storage/vector_store.rs:611)."""
+    block (B, C, D) — the device rescore step behind quantized/ANN
+    shortlists (reference: src/storage/vector_store.rs:611)."""
 
     def one(q_row, rows_b, valid_b):
         qt = D.query_transform(q_row[None], metric)
@@ -254,28 +337,117 @@ def rescore_rows(q: jnp.ndarray, rows: jnp.ndarray, row_valid: jnp.ndarray, *, m
     return jax.vmap(one)(q, rows, row_valid)
 
 
+# ── host-side exact rescore (the second pass of the default search) ──────
+
+
+def host_exact_scores(q: np.ndarray, rows: np.ndarray, metric: Metric) -> np.ndarray:
+    """Exact f32 scores for (B, C, D) candidate rows against (B, D) queries,
+    computed on the host mirror — no device round trip."""
+    q = q.astype(np.float32)
+    rows = rows.astype(np.float32)
+    ip = np.einsum("bcd,bd->bc", rows, q)
+    if metric is Metric.IP:
+        return ip
+    q_sq = np.sum(q * q, axis=-1, keepdims=True)
+    r_sq = np.sum(rows * rows, axis=-1)
+    if metric is Metric.L2:
+        return np.maximum(q_sq + r_sq - 2.0 * ip, 0.0)
+    if metric is Metric.COSINE:
+        denom = np.sqrt(q_sq * r_sq)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = 1.0 - ip / np.maximum(denom, 1e-30)
+        return np.where(denom < 1e-30, 1.0, out).astype(np.float32)
+    raise ValueError(f"host rescore does not support {metric}")
+
+
+class FilterHandle:
+    """A resolved row filter: host mask + count, with lazily-staged device
+    artifacts (mask or gather indices) cached per corpus epoch. Collections
+    cache these per where-string so repeated filtered queries pay zero
+    re-upload (reference keeps the equivalent BitSet per query instead)."""
+
+    __slots__ = ("mask", "count", "indices", "_epoch", "_dev_mask", "_dev_idx",
+                 "_dev_idx_valid", "_s_pad")
+
+    def __init__(self, mask: np.ndarray):
+        self.mask = np.asarray(mask, dtype=bool)
+        self.count = int(self.mask.sum())
+        self.indices: Optional[np.ndarray] = None
+        self._epoch = -1
+        self._dev_mask = None
+        self._dev_idx = None
+        self._dev_idx_valid = None
+        self._s_pad = 0
+
+    def use_gather(self, total_rows: int) -> bool:
+        """Reference policy engine.rs:95-102: exact compact scan when the
+        subset is small absolutely and relatively."""
+        return 0 < self.count <= GATHER_MAX_ROWS and self.count * 4 <= max(total_rows, 1)
+
+    def device_mask(self, n_pad: int, epoch: int):
+        if self._dev_mask is None or self._epoch != epoch:
+            full = np.zeros(n_pad, dtype=bool)
+            m = min(len(self.mask), n_pad)
+            full[:m] = self.mask[:m]
+            self._dev_mask = jnp.asarray(full)
+            self._epoch = epoch
+            self._dev_idx = None
+        return self._dev_mask
+
+    def device_indices(self, n_rows: int, epoch: int):
+        """(idx (S_pad,), idx_valid (S_pad,)) device arrays; S_pad rounded
+        up so compile shapes stay bounded."""
+        if self._dev_idx is None or self._epoch != epoch:
+            if self.indices is None or self._epoch != epoch:
+                self.indices = np.nonzero(self.mask[:n_rows])[0].astype(np.int32)
+            s = len(self.indices)
+            s_pad = max(_round_up(s, 2048), 2048)
+            idx = np.zeros(s_pad, dtype=np.int32)
+            idx[:s] = self.indices
+            iv = np.zeros(s_pad, dtype=bool)
+            iv[:s] = True
+            self._dev_idx = jnp.asarray(idx)
+            self._dev_idx_valid = jnp.asarray(iv)
+            self._s_pad = s_pad
+            self._epoch = epoch
+            self._dev_mask = None
+        return self._dev_idx, self._dev_idx_valid
+
+
 class DeviceCorpus:
     """HBM-resident, padded, growable corpus for one vector field.
 
     Mirrors the role of the reference's FlatMmap (src/storage/flat_mmap.rs:89)
-    but holds rows in device HBM. Rows are appended in padded blocks of
-    ``ROW_BLOCK``; capacity grows geometrically so recompiles happen only at
-    O(log n) distinct shapes. Per-metric corpus transforms (norms, centered
-    rows, probability stats, binarized rows) are computed on-device once and
-    cached until the data mutates.
+    but TPU-shaped: the scan array is bfloat16 in HBM; exact f32 rows live in
+    a host mirror used for the rescore pass (and for staging the lazy f32
+    device copy that the exact/elementwise-metric paths use). Capacity grows
+    geometrically so recompiles happen only at O(log n) distinct shapes.
     """
+
+    APPROX_MIN_ROWS = 65_536  # approx engage threshold (approx_search.rs:49)
 
     def __init__(self, dim: int, dtype: str = "float32"):
         self.dim = int(dim)
         self.dtype = dtype
-        self._store_dtype = jnp.float16 if dtype == "float16" else jnp.float32
         self.n = 0
         self.capacity = 0
-        self._data: Optional[jnp.ndarray] = None  # (cap, dim) store dtype
+        self.epoch = 0
+        self._host = np.zeros((0, self.dim), dtype=np.float32)  # exact mirror
+        self._dev16: Optional[jnp.ndarray] = None  # (cap, dim) bf16 scan array
+        self._dev32: Optional[jnp.ndarray] = None  # lazy (cap, dim) f32
+        self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs: Optional[jnp.ndarray] = None  # (cap,) bool, True = deleted
+        self._sq: Optional[jnp.ndarray] = None  # (cap,) f32 bf16-row norms
+        self._valid_base: Optional[jnp.ndarray] = None
         self._transforms: dict[Metric, dict] = {}
 
     # ── data management ──────────────────────────────────────────────────
+
+    def _invalidate(self) -> None:
+        self.epoch += 1
+        self._sq = None
+        self._valid_base = None
+        self._transforms.clear()
 
     def _grow(self, need: int) -> None:
         new_cap = max(ROW_BLOCK, self.capacity)
@@ -284,137 +456,297 @@ class DeviceCorpus:
         if new_cap == self.capacity:
             return
         pad_rows = new_cap - self.capacity
-        zeros = jnp.zeros((pad_rows, self.dim), dtype=self._store_dtype)
-        tomb_pad = jnp.zeros((pad_rows,), dtype=jnp.bool_)
-        if self._data is None:
-            self._data = zeros
-            self._tombs = tomb_pad
+        zeros16 = jnp.zeros((pad_rows, self.dim), dtype=jnp.bfloat16)
+        if self._dev16 is None:
+            self._dev16 = zeros16
         else:
-            self._data = jnp.concatenate([self._data, zeros], axis=0)
-            self._tombs = jnp.concatenate([self._tombs, tomb_pad], axis=0)
+            self._dev16 = jnp.concatenate([self._dev16, zeros16], axis=0)
+        if self._dev32 is not None:
+            self._dev32 = jnp.concatenate(
+                [self._dev32, jnp.zeros((pad_rows, self.dim), dtype=jnp.float32)], axis=0
+            )
         self.capacity = new_cap
+        self._stage_tombs()
+
+    def _stage_tombs(self) -> None:
+        full = np.zeros(self.capacity, dtype=bool)
+        m = min(len(self._tombs_np), self.capacity)
+        full[:m] = self._tombs_np[:m]
+        self._tombs = jnp.asarray(full)
 
     def append(self, rows: np.ndarray) -> None:
-        rows = np.asarray(rows, dtype=np.float32)
+        rows = np.ascontiguousarray(rows, dtype=np.float32)
         if rows.ndim != 2 or rows.shape[1] != self.dim:
             raise ValueError(f"expected (*, {self.dim}) rows, got {rows.shape}")
         m = rows.shape[0]
         if m == 0:
             return
+        if self.n + m > len(self._host):
+            new_len = max(ROW_BLOCK, len(self._host))
+            while new_len < self.n + m:
+                new_len *= 2
+            host = np.zeros((new_len, self.dim), dtype=np.float32)
+            host[: self.n] = self._host[: self.n]
+            self._host = host
+        self._host[self.n : self.n + m] = rows
         self._grow(self.n + m)
-        dev_rows = jnp.asarray(rows.astype(self._store_dtype))
-        self._data = jax.lax.dynamic_update_slice(self._data, dev_rows, (self.n, 0))
+        dev16 = jnp.asarray(rows.astype(ml_dtypes.bfloat16))
+        self._dev16 = jax.lax.dynamic_update_slice(self._dev16, dev16, (self.n, 0))
+        if self._dev32 is not None:
+            self._dev32 = jax.lax.dynamic_update_slice(
+                self._dev32, jnp.asarray(rows), (self.n, 0)
+            )
         self.n += m
-        self._transforms.clear()
+        self._invalidate()
 
     def overwrite(self, row_ids: np.ndarray, rows: np.ndarray) -> None:
         """Positional overwrite (upsert path)."""
-        rows = np.asarray(rows, dtype=np.float32)
-        dev_rows = jnp.asarray(rows.astype(self._store_dtype))
-        idx = jnp.asarray(np.asarray(row_ids, dtype=np.int32))
-        self._data = self._data.at[idx].set(dev_rows)
-        self._transforms.clear()
+        rows = np.ascontiguousarray(rows, dtype=np.float32)
+        ids = np.asarray(row_ids, dtype=np.int32)
+        self._host[ids] = rows
+        idx = jnp.asarray(ids)
+        self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows.astype(ml_dtypes.bfloat16)))
+        if self._dev32 is not None:
+            self._dev32 = self._dev32.at[idx].set(jnp.asarray(rows))
+        self._invalidate()
 
     def set_tombstones(self, tombs: np.ndarray) -> None:
         """Replace the tombstone mask from the host bitset (first n rows)."""
-        full = np.zeros(self.capacity, dtype=bool)
-        m = min(len(tombs), self.capacity)
-        full[:m] = tombs[:m]
-        self._tombs = jnp.asarray(full)
+        self._tombs_np = np.asarray(tombs, dtype=bool)
+        if self.capacity:
+            self._stage_tombs()
+        self._valid_base = None
+        self.epoch += 1
+
+    def finalize(self) -> None:
+        """Trim device capacity to the occupied prefix (called at commit
+        boundaries) so steady-state scans touch no growth slack."""
+        want = _round_up(max(self.n, 1), ROW_BLOCK)
+        if self.capacity <= want or self._dev16 is None:
+            return
+        self._dev16 = jnp.asarray(self._dev16[:want])
+        if self._dev32 is not None:
+            self._dev32 = jnp.asarray(self._dev32[:want])
+        self.capacity = want
+        self._stage_tombs()
+        self._invalidate()
 
     def reset(self) -> None:
         self.n = 0
         self.capacity = 0
-        self._data = None
+        self._host = np.zeros((0, self.dim), dtype=np.float32)
+        self._dev16 = None
+        self._dev32 = None
+        self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs = None
-        self._transforms.clear()
+        self._invalidate()
 
     # ── derived state ────────────────────────────────────────────────────
 
     @property
     def n_pad(self) -> int:
-        if self.capacity == 0:
-            return 0
-        # Scan over the occupied prefix only, padded to ROW_BLOCK.
-        return min(self.capacity, _round_up(max(self.n, 1), ROW_BLOCK))
+        return self.capacity
+
+    @property
+    def _data(self) -> jnp.ndarray:
+        """Lazily-staged f32 device copy (exact one-pass scans, elementwise
+        metrics, graph/quantizer index builds gather from this)."""
+        if self._dev32 is None:
+            if self.capacity == 0:
+                raise ValueError("empty corpus")
+            full = np.zeros((self.capacity, self.dim), dtype=np.float32)
+            full[: self.n] = self._host[: self.n]
+            self._dev32 = jnp.asarray(full)
+        return self._dev32
+
+    def host_rows(self, row_ids: np.ndarray) -> np.ndarray:
+        """Exact f32 rows from the host mirror (no device traffic)."""
+        return self._host[np.asarray(row_ids, dtype=np.int64)]
+
+    def bf16_norms(self) -> jnp.ndarray:
+        """(cap,) f32 squared norms of the bf16 rows (the L2/cosine proxy
+        terms must match the bf16 matmul's own rounding)."""
+        if self._sq is None:
+            self._sq = jax.jit(
+                lambda x: jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
+            )(self._dev16)
+        return self._sq
 
     def transform(self, metric: Metric) -> dict:
         ct = self._transforms.get(metric)
-        need = self.n_pad
-        if ct is None or next(iter(jax.tree.leaves(ct))).shape[0] != need:
-            data = self._data[:need].astype(jnp.float32)
+        if ct is None:
+            data = self._data.astype(jnp.float32)
             ct = jax.jit(D.corpus_transform, static_argnames=("metric",))(data, metric)
             self._transforms[metric] = ct
         return ct
 
     def valid_mask(self, filter_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
-        n_pad = self.n_pad
-        base = jnp.arange(n_pad, dtype=jnp.int32) < self.n
-        base = base & ~self._tombs[:n_pad]
+        base = self._valid_base
+        if base is None:
+            n_pad = self.n_pad
+            host_valid = np.zeros(n_pad, dtype=bool)
+            host_valid[: self.n] = True
+            m = min(len(self._tombs_np), self.n)
+            host_valid[:m] &= ~self._tombs_np[:m]
+            base = jnp.asarray(host_valid)
+            self._valid_base = base
         if filter_mask is not None:
-            fm = np.zeros(n_pad, dtype=bool)
-            m = min(len(filter_mask), n_pad)
-            fm[:m] = filter_mask[:m]
-            base = base & jnp.asarray(fm)
+            handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
+            base = base & handle.device_mask(self.n_pad, self.epoch)
         return base
 
     def rows(self, row_ids: np.ndarray) -> jnp.ndarray:
-        idx = jnp.asarray(np.asarray(row_ids, dtype=np.int32))
-        return self._data[idx].astype(jnp.float32)
+        return jnp.asarray(self.host_rows(row_ids))
 
     # ── search entry points ──────────────────────────────────────────────
 
-    def search_packed(
-        self,
-        queries: np.ndarray,
-        k: int,
-        metric: Metric,
-        filter_mask: Optional[np.ndarray] = None,
-    ) -> Optional[jnp.ndarray]:
-        """Asynchronously dispatch a fused search; returns the packed device
-        array (B, 3k') or None for an empty corpus. Decode with
-        :func:`decode_packed`. Enables pipelined query streams with grouped
-        host fetches."""
-        if self.n == 0:
-            return None
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
-        ct = self.transform(metric)
-        valid = self.valid_mask(filter_mask)
-        chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
-        return flat_search_step(
-            q, ct, valid, metric=metric, k=k, chunk=chunk, ascending=metric.ascending
-        )
+    def _shortlist_size(self, k: int, limit: int, oversample: int = 4) -> int:
+        c = max(64, oversample * k) if k <= 64 else (
+            2 * k if k <= 512 else int(1.25 * k))
+        c = max(c, k)
+        return min(_round_up(c, 64), max(limit, 1))
 
     def search_submit(
         self,
         queries: np.ndarray,
         k: int,
         metric: Metric,
-        filter_mask: Optional[np.ndarray] = None,
-    ):
-        """Dispatch asynchronously; returns a zero-arg resolver performing
-        the single host sync."""
-        packed = self.search_packed(queries, k, metric, filter_mask)
-        if packed is None:
-            b = np.atleast_2d(np.asarray(queries)).shape[0]
+        filter_mask=None,
+        mode: str = "auto",
+        oversample: int = 4,
+    ) -> Callable[[], tuple[np.ndarray, np.ndarray]]:
+        """Dispatch a search asynchronously; returns a zero-arg resolver
+        performing the (single) host sync + exact rescore. This is the
+        pipelining primitive behind search_stream."""
+        q = np.ascontiguousarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        b = q.shape[0]
+        if self.n == 0:
             empty = (np.zeros((b, 0), dtype=np.float32), np.zeros((b, 0), dtype=np.int64))
             return lambda: empty
-        return lambda: decode_packed(np.asarray(packed), k, metric)
+
+        handle = None
+        if filter_mask is not None:
+            handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
+            if handle.count == 0:
+                empty = (np.zeros((b, 0), dtype=np.float32), np.zeros((b, 0), dtype=np.int64))
+                return lambda: empty
+
+        two_pass = (
+            mode != "exact"
+            and metric in TWO_PASS_METRICS
+            and self.n >= TWO_PASS_MIN_ROWS
+        )
+        if not two_pass:
+            return self._exact_submit(q, k, metric, handle)
+
+        # keep the (B, N) first-pass score block within the HBM budget by
+        # splitting oversized query batches host-side
+        max_b = max(1, SINGLE_SHOT_BUDGET // max(self.n_pad, 1))
+        if b > max_b:
+            resolvers = [
+                self.search_submit(q[s : s + max_b], k, metric, filter_mask,
+                                   mode=mode, oversample=oversample)
+                for s in range(0, b, max_b)
+            ]
+
+            def resolve_parts():
+                parts = [r() for r in resolvers]
+                width = max(p[0].shape[1] for p in parts)
+
+                def padto(a, fill):
+                    if a.shape[1] == width:
+                        return a
+                    pad = np.full((a.shape[0], width - a.shape[1]), fill, a.dtype)
+                    return np.concatenate([a, pad], axis=1)
+
+                return (
+                    np.concatenate([padto(p[0], 0.0) for p in parts], axis=0),
+                    np.concatenate([padto(p[1], -1) for p in parts], axis=0),
+                )
+
+            return resolve_parts
+
+        qd = jnp.asarray(q)
+        ascending = metric.ascending
+        if handle is not None and handle.use_gather(self.n):
+            c = self._shortlist_size(k, handle.count, oversample)
+            idx, idx_valid = handle.device_indices(self.n, self.epoch)
+            packed = bf16_gather_pass_packed(
+                qd, self._dev16, idx, idx_valid, self.bf16_norms(),
+                self.valid_mask(), metric=metric, k=c, ascending=ascending,
+            )
+            subset = handle.indices
+
+            def resolve_gather():
+                proxy, local = unpack_search_step(np.asarray(packed))
+                keep = _keep_mask(proxy, ascending)
+                local = np.clip(local, 0, len(subset) - 1)
+                ids = subset[local].astype(np.int64)
+                return self._rescore_topk(q, ids, keep, metric, k)
+
+            return resolve_gather
+
+        c = self._shortlist_size(k, self.n, oversample)
+        valid = self.valid_mask(handle)
+        packed = bf16_pass_packed(
+            qd, self._dev16, self.bf16_norms(), valid,
+            metric=metric, k=c, ascending=ascending,
+        )
+
+        def resolve():
+            proxy, ids = unpack_search_step(np.asarray(packed))
+            keep = _keep_mask(proxy, ascending)
+            return self._rescore_topk(q, ids, keep, metric, k)
+
+        return resolve
+
+    def _exact_submit(self, q: np.ndarray, k: int, metric: Metric, handle):
+        """One-pass f32 exact scan (reference parity path)."""
+        ct = self.transform(metric)
+        valid = self.valid_mask(handle)
+        chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
+        packed = flat_search_step(
+            jnp.asarray(q), ct, valid, metric=metric, k=min(k, self.n_pad),
+            chunk=chunk, ascending=metric.ascending,
+        )
+        ascending = metric.ascending
+
+        def resolve():
+            return decode_packed(np.asarray(packed), k, metric)
+
+        return resolve
+
+    def _rescore_topk(self, q, ids, keep, metric, k):
+        """Host second pass: exact f32 scores for the shortlist, stable
+        (score, id) ordering, trim to k."""
+        b, c = ids.shape
+        safe = np.where(keep, ids, 0)
+        rows = self._host[safe]  # (B, C, D) host gather
+        exact = host_exact_scores(q, rows, metric)
+        key = -exact if metric.ascending else exact
+        key = np.where(keep & np.isfinite(key), key, -np.inf)
+        # stable best-first order with id tiebreak (matches lax.top_k's
+        # lower-index-wins and the reference merge semantics)
+        order = np.lexsort((safe, -key), axis=1)[:, :k]
+        d = np.take_along_axis(exact, order, axis=1).astype(np.float32)
+        i = np.take_along_axis(ids, order, axis=1)
+        kept = np.take_along_axis(key, order, axis=1) > -np.inf
+        return _trim_results(d, i, kept, k)
 
     def search(
         self,
         queries: np.ndarray,
         k: int,
         metric: Metric,
-        filter_mask: Optional[np.ndarray] = None,
+        filter_mask=None,
+        mode: str = "auto",
     ):
-        """Top-k scan: one fused device dispatch + one host fetch. Returns
-        (dists (B,k'), row_ids (B,k')) trimmed of invalid entries."""
-        return self.search_submit(queries, k, metric, filter_mask)()
+        """Top-k scan: one fused device dispatch + one host fetch (+ host
+        rescore on the two-pass path). Returns (dists (B,k'), row_ids
+        (B,k')) trimmed of invalid entries; distances are exact f32."""
+        return self.search_submit(queries, k, metric, filter_mask, mode=mode)()
 
     # ── approximate flat search (reference: storage/approx_search.rs) ───
-
-    APPROX_MIN_ROWS = 65_536  # engage threshold (approx_search.rs:49)
 
     def search_approx(
         self,
@@ -422,30 +754,30 @@ class DeviceCorpus:
         k: int,
         metric: Metric,
         eps: float = 1e-4,
-        filter_mask: Optional[np.ndarray] = None,
+        filter_mask=None,
     ):
-        """Approximate two-pass scan: a full-dimension bfloat16 first pass
-        (half the HBM bytes of the f32 exact scan, so ~2x the bandwidth)
-        produces an oversampled shortlist that the f32 exact rescore refines.
-        Estimation error is ~2^-8 relative — far below typical score gaps —
-        so recall stays near-exact while eps controls the oversampling
-        cushion. Falls back to the exact scan below the engage threshold,
-        mirroring the reference (approx_search.rs:49)."""
+        """Approximate two-pass scan (explicit opt-in, reference
+        approx_search.rs): same bf16-first-pass machinery as the default
+        matmul path with eps steering the oversample cushion; the L1 family
+        runs a chunked bf16 elementwise pass + device rescore. Falls back to
+        the exact scan below the engage threshold (approx_search.rs:49)."""
         if self.n <= self.APPROX_MIN_ROWS or not metric.supports_flat_approx:
             return self.search(queries, k, metric, filter_mask)
+        oversample = 4 if eps >= 1e-3 else (8 if eps >= 1e-5 else 16)
+        if metric in TWO_PASS_METRICS:
+            return self.search_submit(
+                queries, k, metric, filter_mask, mode="auto", oversample=oversample
+            )()
+
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         n_pad = self.n_pad
-
-        cached = self._transforms.get("approx_bf16")
-        if cached is None or cached.shape[0] != n_pad:
-            cached = self._data[:n_pad].astype(jnp.bfloat16)
-            self._transforms["approx_bf16"] = cached
-
-        oversample = 4 if eps >= 1e-3 else (8 if eps >= 1e-5 else 16)
-        valid = self.valid_mask(filter_mask)
+        handle = None
+        if filter_mask is not None:
+            handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
+        valid = self.valid_mask(handle)
         shortlist = min(max(k * oversample, k), n_pad)
         d_s, i_s = bf16_flat_topk(
-            jnp.asarray(q), cached, valid,
+            jnp.asarray(q), self._dev16, valid,
             metric=metric, k=shortlist,
             chunk=scan_chunk_size(metric, n_pad, len(q)),
         )
@@ -464,7 +796,7 @@ class DeviceCorpus:
         threshold: float,
         metric: Metric,
         max_results: int = 1000,
-        filter_mask: Optional[np.ndarray] = None,
+        filter_mask=None,
     ):
         """All rows within ``threshold`` (<= for ascending metrics, >= for
         IP), sorted best-first, capped at max_results
@@ -474,7 +806,10 @@ class DeviceCorpus:
         q = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(1, -1))
         qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
         ct = self.transform(metric)
-        valid = self.valid_mask(filter_mask)
+        handle = None
+        if filter_mask is not None:
+            handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
+        valid = self.valid_mask(handle)
         chunk = scan_chunk_size(metric, self.n_pad, 1)
         scores = np.asarray(flat_scores(qt, ct, valid, metric=metric, chunk=chunk))[0]
         ok = ~np.isnan(scores)
@@ -491,24 +826,51 @@ class DeviceCorpus:
         return vals[order].astype(np.float32), idx[order].astype(np.int64)
 
     def rescore(self, queries: np.ndarray, cand_ids: np.ndarray, metric: Metric):
-        """Exact (B, C) distances for explicit candidate rows."""
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        """Exact (B, C) distances for explicit candidate rows. The matmul
+        family rescores on the host mirror; other metrics rescore on device
+        (their distance lanes already live there)."""
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         ids = np.asarray(cand_ids)
         if ids.ndim == 1:
             ids = np.broadcast_to(ids, (q.shape[0], ids.shape[0]))
-        rows = self._data[jnp.asarray(ids.astype(np.int32))].astype(jnp.float32)
-        valid = jnp.asarray(ids >= 0)
-        safe_rows = rows * valid[..., None]
-        out = rescore_rows(q, safe_rows, valid, metric=metric)
+        valid = ids >= 0
+        safe = np.where(valid, ids, 0)
+        if metric in TWO_PASS_METRICS:
+            exact = host_exact_scores(q, self._host[safe], metric)
+            return np.where(valid, exact, np.nan)
+        rows = self._data[jnp.asarray(safe.astype(np.int32))].astype(jnp.float32)
+        vd = jnp.asarray(valid)
+        out = rescore_rows(q, rows * vd[..., None], vd, metric=metric)
         return np.asarray(out)
+
+    # legacy single-dispatch packed API (exact path), kept for callers that
+    # want to manage fetches themselves
+    def search_packed(self, queries, k: int, metric: Metric, filter_mask=None):
+        if self.n == 0:
+            return None
+        q = np.ascontiguousarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        handle = None
+        if filter_mask is not None:
+            handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
+        ct = self.transform(metric)
+        valid = self.valid_mask(handle)
+        chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
+        return flat_search_step(
+            jnp.asarray(q), ct, valid, metric=metric, k=min(k, self.n_pad),
+            chunk=chunk, ascending=metric.ascending,
+        )
+
+
+def _keep_mask(proxy: np.ndarray, ascending: bool) -> np.ndarray:
+    keyed = -proxy if ascending else proxy
+    return keyed > -np.inf
 
 
 def decode_packed(packed_np: np.ndarray, k: int, metric: Metric):
-    """Decode + trim a fetched flat_search_step result."""
+    """Decode + trim a fetched packed search result."""
     dists, ids = unpack_search_step(packed_np)
-    keyed = -dists if metric.ascending else dists
-    keep = keyed > -np.inf
-    return _trim_results(dists, ids, keep, k)
+    keep = _keep_mask(dists, metric.ascending)
+    return _trim_results(dists[:, :k], ids[:, :k], keep[:, :k], k)
 
 
 def _trim_results(dists: np.ndarray, ids: np.ndarray, keep: np.ndarray, k: int):

@@ -45,11 +45,12 @@ def main() -> None:
         db = client.create_database("bench", drop_if_exists=True)
         coll = db.require_collection("v", dim=D, drop_if_exists=True)
 
-        # ── ingest (keeping streaming exact ground truth for 5 queries) ──
+        # ── ingest (streaming exact ground truth for 5 queries is computed
+        #    outside the timed section — it's benchmark bookkeeping) ───────
         gt_q = queries[:5]
         gt_scores = np.full((5, K), -np.inf, dtype=np.float32)
         gt_ids = np.full((5, K), -1, dtype=np.int64)
-        t0 = time.perf_counter()
+        ingest_s = 0.0
         for start in range(0, N, INGEST_BATCH):
             m = min(INGEST_BATCH, N - start)
             chunk = rng.normal(size=(m, D)).astype(np.float32)
@@ -62,9 +63,12 @@ def main() -> None:
             top = np.argsort(-merged, axis=1)[:, :K]
             gt_scores = np.take_along_axis(merged, top, axis=1)
             gt_ids = np.take_along_axis(merged_ids, top, axis=1)
+            t0 = time.perf_counter()
             coll.add(list(range(start, start + m)), vectors=chunk, batch_size=INGEST_BATCH)
+            ingest_s += time.perf_counter() - t0
+        t0 = time.perf_counter()
         coll.commit()
-        ingest_s = time.perf_counter() - t0
+        ingest_s += time.perf_counter() - t0
         log(f"ingest: {N} x {D} in {ingest_s:.2f}s = {N / ingest_s:,.0f} vec/s")
 
         # ── warm up (device staging + compile) ────────────────────────────

@@ -186,14 +186,19 @@ class Collection:
             if kind == KIND_ADD:
                 iids = payload["iids"]
                 dim = payload["dim"]
-                vecs = np.frombuffer(payload["vec"], dtype=np.float32).reshape(-1, dim)
-                new = [i for i, iid in enumerate(iids) if iid >= durable + self._pending_rows]
-                if new:
-                    rows = vecs[new]
-                    self._pending.append(rows)
-                    self._pending_rows += len(new)
-                    self._pending_bytes += rows.nbytes
-                    recovered += len(new)
+                raw = payload.get("vec")
+                if raw is not None:
+                    vecs = np.frombuffer(raw, dtype=np.float32).reshape(-1, dim)
+                    new = [i for i, iid in enumerate(iids) if iid >= durable + self._pending_rows]
+                    if new:
+                        rows = vecs[new]
+                        self._pending.append(rows)
+                        self._pending_rows += len(new)
+                        self._pending_bytes += rows.nbytes
+                        recovered += len(new)
+                # metadata-only (bulk) records: vectors were appended to the
+                # store directly; rows past the store boundary are lost with
+                # their metadata truncated below
                 # fields + idmap have their own logs; re-apply is idempotent
                 for i, iid in enumerate(iids):
                     if payload.get("fields") is not None:
@@ -294,15 +299,29 @@ class Collection:
 
             start = self.n_rows
             iids = list(range(start, start + n))
-            self.wal.log_add(iids, vectors, eids, fields)
+            bulk = n >= PENDING_FLUSH_ROWS and not self._pending
+            # Bulk path: the batch flushes to segment storage in this very
+            # call, so the WAL carries metadata only (ids/fields) — vector
+            # bytes hit disk exactly once. Recovery replays the metadata
+            # idempotently and truncates past the durable vector boundary,
+            # the same contract as the buffered path (engine.rs:1760-1785).
+            self.wal.log_add(iids, vectors, eids, fields, include_vectors=not bulk)
             field_list = fields if fields is not None else [None] * n
             self.fields.batch_store_at(iids, field_list)
             self._text_upsert(iids, field_list)
             self.idmap.insert_many(eids, start)
-            self._pending.append(vectors)
-            self._pending_rows += n
-            self._pending_bytes += vectors.nbytes
-            self._maybe_flush_pending()
+            if bulk:
+                self.store.append(vectors)
+                # publish the row boundary now: the WAL has no vector bytes
+                # for this batch, so the manifest is what makes these rows
+                # visible to recovery (same buffered-write durability class
+                # as an unsynced WAL record)
+                self.store.checkpoint(fsync=False)
+            else:
+                self._pending.append(vectors)
+                self._pending_rows += n
+                self._pending_bytes += vectors.nbytes
+                self._maybe_flush_pending()
             return eids
 
     def add_items(self, vectors, ids, fields=None) -> list:
@@ -316,7 +335,7 @@ class Collection:
     def _flush_pending(self) -> None:
         if not self._pending:
             return
-        rows = np.concatenate(self._pending, axis=0)
+        rows = self._pending[0] if len(self._pending) == 1 else np.concatenate(self._pending, axis=0)
         self.store.append(rows)
         self._pending = []
         self._pending_rows = 0

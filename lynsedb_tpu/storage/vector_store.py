@@ -112,7 +112,7 @@ class VectorStore:
             self.set_dim(rows.shape[1])
         if rows.shape[1] != self.dim:
             raise ValueError(f"dimension mismatch: stored {self.dim}, got {rows.shape[1]}")
-        data = rows.tobytes()
+        data = memoryview(rows).cast("B")  # zero-copy byte view
         target_rows = max(TARGET_SEGMENT_BYTES // self.row_bytes, 1)
         offset = 0
         n = rows.shape[0]

@@ -84,17 +84,22 @@ class WALStorage:
         if self._path.stat().st_size > ROTATE_BYTES:
             self._rotate()
 
-    def log_add(self, internal_ids: list[int], vectors: np.ndarray, external_ids, fields) -> None:
-        self.append(
-            KIND_ADD,
-            {
-                "iids": internal_ids,
-                "vec": np.ascontiguousarray(vectors, dtype=np.float32).tobytes(),
-                "dim": int(vectors.shape[1]),
-                "eids": external_ids,
-                "fields": fields,
-            },
-        )
+    def log_add(self, internal_ids: list[int], vectors: np.ndarray, external_ids, fields,
+                include_vectors: bool = True) -> None:
+        """Log an add. ``include_vectors=False`` writes a metadata-only
+        record for the bulk-ingest path where vectors go straight to segment
+        storage in the same call — the WAL then only needs the ids/fields
+        for idempotent recovery (recovery truncates metadata past the
+        durable vector boundary), halving ingest write volume."""
+        payload = {
+            "iids": internal_ids,
+            "dim": int(vectors.shape[1]),
+            "eids": external_ids,
+            "fields": fields,
+        }
+        if include_vectors:
+            payload["vec"] = np.ascontiguousarray(vectors, dtype=np.float32).tobytes()
+        self.append(KIND_ADD, payload)
 
     def log_upsert(self, internal_ids: list[int], vectors: np.ndarray, fields) -> None:
         self.append(

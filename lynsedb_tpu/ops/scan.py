@@ -384,17 +384,17 @@ class FilterHandle:
         subset is small absolutely and relatively."""
         return 0 < self.count <= GATHER_MAX_ROWS and self.count * 4 <= max(total_rows, 1)
 
-    def device_mask(self, n_pad: int, epoch: int):
+    def device_mask(self, n_pad: int, epoch: int, sharding=None):
         if self._dev_mask is None or self._epoch != epoch:
             full = np.zeros(n_pad, dtype=bool)
             m = min(len(self.mask), n_pad)
             full[:m] = self.mask[:m]
-            self._dev_mask = jnp.asarray(full)
+            self._dev_mask = _put(full, sharding)
             self._epoch = epoch
             self._dev_idx = None
         return self._dev_mask
 
-    def device_indices(self, n_rows: int, epoch: int):
+    def device_indices(self, n_rows: int, epoch: int, sharding=None):
         """(idx (S_pad,), idx_valid (S_pad,)) device arrays; S_pad rounded
         up so compile shapes stay bounded."""
         if self._dev_idx is None or self._epoch != epoch:
@@ -406,12 +406,19 @@ class FilterHandle:
             idx[:s] = self.indices
             iv = np.zeros(s_pad, dtype=bool)
             iv[:s] = True
-            self._dev_idx = jnp.asarray(idx)
-            self._dev_idx_valid = jnp.asarray(iv)
+            self._dev_idx = _put(idx, sharding)
+            self._dev_idx_valid = _put(iv, sharding)
             self._s_pad = s_pad
             self._epoch = epoch
             self._dev_mask = None
         return self._dev_idx, self._dev_idx_valid
+
+
+def _put(arr: np.ndarray, sharding=None):
+    """Stage a host array on device, optionally with an explicit sharding."""
+    if sharding is None:
+        return jnp.asarray(arr)
+    return jax.device_put(arr, sharding)
 
 
 class DeviceCorpus:
@@ -426,9 +433,17 @@ class DeviceCorpus:
 
     APPROX_MIN_ROWS = 65_536  # approx engage threshold (approx_search.rs:49)
 
-    def __init__(self, dim: int, dtype: str = "float32"):
+    def __init__(self, dim: int, dtype: str = "float32", mesh=None):
+        """``mesh``: a jax Mesh with a "corpus" axis — rows shard across it
+        and XLA SPMD inserts the cross-chip top-k merge collectives (this is
+        the engine-integrated face of the multi-chip data plane; the
+        explicit shard_map formulation lives in parallel/mesh.py). Defaults
+        to the process-wide mesh set via parallel.mesh.set_default_mesh."""
+        from ..parallel.mesh import get_default_mesh
+
         self.dim = int(dim)
         self.dtype = dtype
+        self.mesh = mesh if mesh is not None else get_default_mesh()
         self.n = 0
         self.capacity = 0
         self.epoch = 0
@@ -440,6 +455,43 @@ class DeviceCorpus:
         self._sq: Optional[jnp.ndarray] = None  # (cap,) f32 bf16-row norms
         self._valid_base: Optional[jnp.ndarray] = None
         self._transforms: dict[Metric, dict] = {}
+        self._mesh_dirty = True
+
+    # ── mesh sharding helpers ────────────────────────────────────────────
+
+    def _rows_sharding(self, ndim: int = 2):
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import corpus_sharding
+
+        return corpus_sharding(self.mesh, ndim)
+
+    def _repl_sharding(self):
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import replicated
+
+        return replicated(self.mesh)
+
+    def _row_align(self) -> int:
+        if self.mesh is None:
+            return ROW_BLOCK
+        return ROW_BLOCK * int(self.mesh.shape["corpus"])
+
+    def _ensure_staged(self) -> None:
+        """Mesh mode stages lazily from host state: a full sharded
+        device_put per change epoch (bulk-load-then-serve shape) instead of
+        the single-device incremental updates."""
+        if self.mesh is None or not self._mesh_dirty or self.n == 0:
+            return
+        cap = _round_up(max(self.n, 1), self._row_align())
+        full16 = np.zeros((cap, self.dim), dtype=ml_dtypes.bfloat16)
+        full16[: self.n] = self._host[: self.n].astype(ml_dtypes.bfloat16)
+        self._dev16 = _put(full16, self._rows_sharding())
+        self.capacity = cap
+        self._stage_tombs()
+        self._dev32 = None
+        self._mesh_dirty = False
 
     # ── data management ──────────────────────────────────────────────────
 
@@ -448,8 +500,11 @@ class DeviceCorpus:
         self._sq = None
         self._valid_base = None
         self._transforms.clear()
+        self._mesh_dirty = True
 
     def _grow(self, need: int) -> None:
+        if self.mesh is not None:
+            return  # mesh mode restages from host in _ensure_staged
         new_cap = max(ROW_BLOCK, self.capacity)
         while new_cap < need:
             new_cap *= 2
@@ -472,7 +527,7 @@ class DeviceCorpus:
         full = np.zeros(self.capacity, dtype=bool)
         m = min(len(self._tombs_np), self.capacity)
         full[:m] = self._tombs_np[:m]
-        self._tombs = jnp.asarray(full)
+        self._tombs = _put(full, self._rows_sharding(1))
 
     def append(self, rows: np.ndarray) -> None:
         rows = np.ascontiguousarray(rows, dtype=np.float32)
@@ -489,13 +544,14 @@ class DeviceCorpus:
             host[: self.n] = self._host[: self.n]
             self._host = host
         self._host[self.n : self.n + m] = rows
-        self._grow(self.n + m)
-        dev16 = jnp.asarray(rows.astype(ml_dtypes.bfloat16))
-        self._dev16 = jax.lax.dynamic_update_slice(self._dev16, dev16, (self.n, 0))
-        if self._dev32 is not None:
-            self._dev32 = jax.lax.dynamic_update_slice(
-                self._dev32, jnp.asarray(rows), (self.n, 0)
-            )
+        if self.mesh is None:
+            self._grow(self.n + m)
+            dev16 = jnp.asarray(rows.astype(ml_dtypes.bfloat16))
+            self._dev16 = jax.lax.dynamic_update_slice(self._dev16, dev16, (self.n, 0))
+            if self._dev32 is not None:
+                self._dev32 = jax.lax.dynamic_update_slice(
+                    self._dev32, jnp.asarray(rows), (self.n, 0)
+                )
         self.n += m
         self._invalidate()
 
@@ -504,10 +560,11 @@ class DeviceCorpus:
         rows = np.ascontiguousarray(rows, dtype=np.float32)
         ids = np.asarray(row_ids, dtype=np.int32)
         self._host[ids] = rows
-        idx = jnp.asarray(ids)
-        self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows.astype(ml_dtypes.bfloat16)))
-        if self._dev32 is not None:
-            self._dev32 = self._dev32.at[idx].set(jnp.asarray(rows))
+        if self.mesh is None:
+            idx = jnp.asarray(ids)
+            self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows.astype(ml_dtypes.bfloat16)))
+            if self._dev32 is not None:
+                self._dev32 = self._dev32.at[idx].set(jnp.asarray(rows))
         self._invalidate()
 
     def set_tombstones(self, tombs: np.ndarray) -> None:
@@ -521,6 +578,8 @@ class DeviceCorpus:
     def finalize(self) -> None:
         """Trim device capacity to the occupied prefix (called at commit
         boundaries) so steady-state scans touch no growth slack."""
+        if self.mesh is not None:
+            return  # mesh staging is already exact-size
         want = _round_up(max(self.n, 1), ROW_BLOCK)
         if self.capacity <= want or self._dev16 is None:
             return
@@ -551,12 +610,13 @@ class DeviceCorpus:
     def _data(self) -> jnp.ndarray:
         """Lazily-staged f32 device copy (exact one-pass scans, elementwise
         metrics, graph/quantizer index builds gather from this)."""
+        self._ensure_staged()
         if self._dev32 is None:
             if self.capacity == 0:
                 raise ValueError("empty corpus")
             full = np.zeros((self.capacity, self.dim), dtype=np.float32)
             full[: self.n] = self._host[: self.n]
-            self._dev32 = jnp.asarray(full)
+            self._dev32 = _put(full, self._rows_sharding())
         return self._dev32
 
     def host_rows(self, row_ids: np.ndarray) -> np.ndarray:
@@ -566,6 +626,7 @@ class DeviceCorpus:
     def bf16_norms(self) -> jnp.ndarray:
         """(cap,) f32 squared norms of the bf16 rows (the L2/cosine proxy
         terms must match the bf16 matmul's own rounding)."""
+        self._ensure_staged()
         if self._sq is None:
             self._sq = jax.jit(
                 lambda x: jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
@@ -581,6 +642,7 @@ class DeviceCorpus:
         return ct
 
     def valid_mask(self, filter_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+        self._ensure_staged()
         base = self._valid_base
         if base is None:
             n_pad = self.n_pad
@@ -588,11 +650,11 @@ class DeviceCorpus:
             host_valid[: self.n] = True
             m = min(len(self._tombs_np), self.n)
             host_valid[:m] &= ~self._tombs_np[:m]
-            base = jnp.asarray(host_valid)
+            base = _put(host_valid, self._rows_sharding(1))
             self._valid_base = base
         if filter_mask is not None:
             handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
-            base = base & handle.device_mask(self.n_pad, self.epoch)
+            base = base & handle.device_mask(self.n_pad, self.epoch, self._rows_sharding(1))
         return base
 
     def rows(self, row_ids: np.ndarray) -> jnp.ndarray:
@@ -666,11 +728,12 @@ class DeviceCorpus:
 
             return resolve_parts
 
-        qd = jnp.asarray(q)
+        self._ensure_staged()
+        qd = _put(q, self._repl_sharding())
         ascending = metric.ascending
         if handle is not None and handle.use_gather(self.n):
             c = self._shortlist_size(k, handle.count, oversample)
-            idx, idx_valid = handle.device_indices(self.n, self.epoch)
+            idx, idx_valid = handle.device_indices(self.n, self.epoch, self._rows_sharding(1))
             packed = bf16_gather_pass_packed(
                 qd, self._dev16, idx, idx_valid, self.bf16_norms(),
                 self.valid_mask(), metric=metric, k=c, ascending=ascending,
@@ -706,7 +769,7 @@ class DeviceCorpus:
         valid = self.valid_mask(handle)
         chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
         packed = flat_search_step(
-            jnp.asarray(q), ct, valid, metric=metric, k=min(k, self.n_pad),
+            _put(q, self._repl_sharding()), ct, valid, metric=metric, k=min(k, self.n_pad),
             chunk=chunk, ascending=metric.ascending,
         )
         ascending = metric.ascending
@@ -770,6 +833,7 @@ class DeviceCorpus:
             )()
 
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        self._ensure_staged()
         n_pad = self.n_pad
         handle = None
         if filter_mask is not None:
@@ -777,7 +841,7 @@ class DeviceCorpus:
         valid = self.valid_mask(handle)
         shortlist = min(max(k * oversample, k), n_pad)
         d_s, i_s = bf16_flat_topk(
-            jnp.asarray(q), self._dev16, valid,
+            _put(q, self._repl_sharding()), self._dev16, valid,
             metric=metric, k=shortlist,
             chunk=scan_chunk_size(metric, n_pad, len(q)),
         )

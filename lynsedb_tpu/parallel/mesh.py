@@ -24,6 +24,30 @@ from ..ops import distance as D
 from ..ops.topk import masked_top_k, merge_top_k
 
 
+# Process-wide default mesh: when set, every new DeviceCorpus shards its
+# corpus rows over the mesh's "corpus" axis (XLA SPMD inserts the top-k
+# merge collectives). This is how a Collection serves multi-chip.
+_DEFAULT_MESH: Mesh | None = None
+
+
+def set_default_mesh(mesh: Mesh | None) -> None:
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def get_default_mesh() -> Mesh | None:
+    return _DEFAULT_MESH
+
+
+def corpus_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Rows sharded over the "corpus" axis, remaining dims replicated."""
+    return NamedSharding(mesh, P("corpus", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
 def make_mesh(
     n_devices: int | None = None,
     data_axis: int = 1,

@@ -127,3 +127,83 @@ def test_make_mesh_explicit_devices():
     assert dict(mesh.shape) == {"data": 2, "corpus": 2}
     with pytest.raises(ValueError):
         make_mesh(len(cpus) + 1, devices=cpus)
+
+
+# ── engine integration: a Collection serving from a sharded corpus ────────
+
+
+@pytest.fixture
+def mesh8():
+    from lynsedb_tpu.parallel.mesh import set_default_mesh
+
+    mesh = make_mesh(8, data_axis=1, platform="cpu")
+    set_default_mesh(mesh)
+    yield mesh
+    set_default_mesh(None)
+
+
+def test_collection_on_mesh_crud_parity(tmp_path, mesh8):
+    """A Collection whose DeviceCorpus shards rows over the mesh must give
+    the same results as the single-device engine for add/search/filter/
+    delete (XLA SPMD inserts the cross-shard top-k merge)."""
+    import lynsedb_tpu as lynse
+    from lynsedb_tpu.parallel.mesh import set_default_mesh
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(500, 12)).astype(np.float32)
+    fields = [{"b": i % 3} for i in range(500)]
+
+    client = lynse.VectorDBClient(str(tmp_path / "mesh_root"))
+    db = client.create_database("d", drop_if_exists=True)
+    coll = db.require_collection("c", dim=12, drop_if_exists=True)
+    assert coll._engine.corpus().mesh is mesh8
+    coll.add(list(range(500)), vectors=vecs, fields=fields)
+    coll.commit()
+
+    # single-device twin
+    set_default_mesh(None)
+    db2 = client.create_database("d2", drop_if_exists=True)
+    ref = db2.require_collection("c", dim=12, drop_if_exists=True)
+    ref.add(list(range(500)), vectors=vecs, fields=fields)
+    ref.commit()
+    set_default_mesh(mesh8)
+
+    q = vecs[17]
+    a = coll.search(q, k=7)
+    b = ref.search(q, k=7)
+    assert a.ids.tolist() == b.ids.tolist()
+    np.testing.assert_allclose(a.distances, b.distances, rtol=1e-5)
+
+    af = coll.search(q, k=7, where="b = 1")
+    bf = ref.search(q, k=7, where="b = 1")
+    assert af.ids.tolist() == bf.ids.tolist()
+
+    coll.delete([17])
+    ref.delete([17])
+    a2 = coll.search(q, k=7)
+    b2 = ref.search(q, k=7)
+    assert a2.ids.tolist() == b2.ids.tolist()
+
+    rs = coll.search_stream(vecs[:10], k=3, window=4)
+    assert len(rs) == 10
+    live = np.ones(500, dtype=bool)
+    live[17] = False  # deleted above
+    for qi in (0, 3, 9):
+        scores = np.where(live, vecs[qi] @ vecs.T, -np.inf)
+        assert int(rs[qi].ids[0]) == int(np.argmax(scores))
+
+
+def test_device_corpus_mesh_two_pass(mesh8, rng):
+    """Sharded two-pass path at a size above TWO_PASS_MIN_ROWS."""
+    from lynsedb_tpu.ops.scan import DeviceCorpus
+
+    n, d, k = 8192, 32, 10
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    dc = DeviceCorpus(d)
+    assert dc.mesh is mesh8
+    dc.append(x)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    dists, ids = dc.search(q, k, Metric.IP)
+    want = np.argsort(-(q @ x.T), axis=1)[:, :k]
+    for b in range(3):
+        assert set(ids[b].tolist()) == set(want[b].tolist())

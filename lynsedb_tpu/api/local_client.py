@@ -610,9 +610,28 @@ class LocalCollection:
             },
         )
 
-    def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10) -> dict:
+    def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10,
+                       reranker=None, rerank_k: Optional[int] = None) -> dict:
+        """Per-query explain (reference: engine.rs:5005 search_with_profile).
+        When a reranker participates, its wall time lands in rerank_us."""
         result = self._engine.search(vector, k=k, where=where, nprobe=nprobe, profile=True)
-        return result.profile
+        prof = dict(result.profile)
+        if reranker is not None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            eids = self._engine.internal_to_external(result.ids)
+            apply_external_rerank(
+                ids=np.array(eids, dtype=object),
+                scores=result.distances,
+                fields=self._fields_for_external_ids(eids),
+                reranker=reranker,
+                query={"type": "vector_search", "where": where, "nprobe": nprobe},
+                rerank_k=rerank_k,
+            )
+            prof["rerank_us"] = int((_time.perf_counter() - t0) * 1e6)
+            prof["total_us"] = prof.get("total_us", 0) + prof["rerank_us"]
+        return prof
 
     def batch_search(
         self,

@@ -25,8 +25,10 @@ from typing import Any, Optional
 
 import numpy as np
 
+from ..configs.config import config
 from ..metrics import Metric
 from ..ops.scan import DeviceCorpus, FilterHandle
+from .search_cache import SearchCache
 from ..storage.bitset import BitSet
 from ..storage.field_store import FieldStore
 from ..storage.idmap import IdMap, normalize_external_id
@@ -144,6 +146,12 @@ class Collection:
         # where-string -> FilterHandle cache, invalidated by write version
         self._write_version = 0
         self._filter_cache: dict[str, tuple[int, int, FilterHandle]] = {}
+
+        # search-result cache (reference: SEARCH_CACHE_* config surface);
+        # keys include the write version, so writes invalidate implicitly
+        self._search_cache = SearchCache(
+            config.LYNSE_SEARCH_CACHE_SIZE, config.LYNSE_SEARCH_CACHE_EXPIRE_SECONDS
+        )
 
         # secondary indexes (IVF/SPANN/HNSW/DiskANN/PQ/... ) — set by build_index
         self._index = None
@@ -659,6 +667,15 @@ class Collection:
             q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
             if self.dim is not None and q.shape[1] != self.dim:
                 raise DimensionMismatch(f"query dim {q.shape[1]} != collection dim {self.dim}")
+            cache_key = None
+            if self._search_cache.enabled and filter_ids is None and not profile:
+                cache_key = SearchCache.query_key(
+                    q.tobytes(), k, where, field_name, nprobe, approx, round(eps, 12),
+                    self._write_version, self.index_mode,
+                )
+                cached = self._search_cache.get(cache_key)
+                if cached is not None:
+                    return cached
             metric = self.metric
             if not metric.accepts_dimension(q.shape[1]):
                 raise InvalidArgument(f"metric {metric.value} rejects dim {q.shape[1]}")
@@ -705,13 +722,16 @@ class Collection:
                     search_us=int((t2 - t1) * 1e6),
                     total_us=int((t2 - t0) * 1e6),
                 ).to_dict()
-            return SearchResult(
+            out = SearchResult(
                 ids=ids,
                 distances=dists,
                 distance_metric=metric.display_name,
                 index_type=self.index_type,
                 profile=prof,
             )
+            if cache_key is not None:
+                self._search_cache.put(cache_key, out)
+            return out
 
     def search_stream(
         self,

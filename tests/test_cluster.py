@@ -39,8 +39,6 @@ def test_quorum_metadata_read_repair(tmp_path):
     owners = [LocalMetadataStore(tmp_path / f"m{i}.json") for i in range(3)]
     q = QuorumMetadataStore(owners)
     assert q.cas(0, {"x": 1})
-    # one owner falls behind
-    owners[2].cas(1, None) if False else None
     v, val = q.get()
     assert v == 1 and val == {"x": 1}
     # simulate stale minority: write v2 to two owners only

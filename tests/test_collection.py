@@ -313,3 +313,40 @@ def test_named_vector_fields(db, rng):
     res = coll.search(img[1], k=1, vector_field="image")
     assert res.ids[0] == 2
     assert res.distance_metric == "L2"
+
+
+def test_search_cache_hit_and_write_invalidation(db, rng):
+    """Repeated identical queries hit the result cache; any write
+    invalidates it via the write-version key component (reference:
+    SEARCH_CACHE_SIZE/EXPIRE config surface, config.py:138-225)."""
+    coll = db.require_collection("cache_c", dim=8, drop_if_exists=True)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    coll.add(list(range(50)), vectors=vecs)
+    coll.commit()
+    eng = coll._engine
+    eng._search_cache.clear()
+    q = vecs[3]
+    r1 = coll.search(q, k=5)
+    misses0 = eng._search_cache.misses
+    r2 = coll.search(q, k=5)
+    assert eng._search_cache.hits >= 1
+    assert eng._search_cache.misses == misses0
+    assert r1.ids.tolist() == r2.ids.tolist()
+    # a write must invalidate: new row is the best match afterwards
+    coll.add([999], vectors=q.reshape(1, -1) * 3.0)
+    coll.commit()
+    r3 = coll.search(q, k=5)
+    assert int(r3.ids[0]) == 999
+
+
+def test_search_profile_rerank_us(populated_collection):
+    coll, vectors, ids = populated_collection
+
+    def reranker(payload):
+        return list(reversed([item["id"] for item in payload["items"]]))
+
+    prof = coll.search_profile(vectors[0], k=5, reranker=reranker)
+    assert prof["rerank_us"] > 0
+    assert prof["total_us"] >= prof["rerank_us"]
+    prof2 = coll.search_profile(vectors[0], k=5)
+    assert prof2["rerank_us"] == 0

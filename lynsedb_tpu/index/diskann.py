@@ -17,13 +17,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..metrics import Metric
-from ..ops.graph import beam_search, build_vamana
+from ..ops.graph import (
+    beam_search,
+    build_vamana,
+    insert_points,
+    reconnect_orphans,
+    repair_deleted_edges,
+)
 from ..storage.vector_store import write_atomic
 
 DEFAULT_R = 16
 DEFAULT_L = 64
 DEFAULT_ALPHA = 1.2
-TAIL_REBUILD_FRACTION = 0.2
+# In-place insert/delete repair is the update mechanism (reference
+# IP-DiskANN, diskann.rs:1337/:1496); a full rebuild is only the backstop
+# once accumulated churn passes this fraction of the built corpus.
+REBUILD_CHURN_FRACTION = 0.5
 
 
 class DiskANNIndex:
@@ -62,6 +71,14 @@ class DiskANNIndex:
         idx._starts_np = idx._compute_starts(data)
         idx.save(coll)
         return idx
+
+    def _compute_starts_live(self, data: np.ndarray, live_rows: np.ndarray) -> np.ndarray:
+        """Entry points restricted to live rows (post-delete refresh)."""
+        starts = [self.medoid]
+        if self.metric is Metric.IP:
+            norms = np.linalg.norm(data[live_rows], axis=1)
+            starts.extend(live_rows[np.argsort(-norms)[:4]].tolist())
+        return np.unique(np.asarray(starts, dtype=np.int32))
 
     def _compute_starts(self, data: np.ndarray) -> np.ndarray:
         """Entry points: the medoid plus, for inner-product search, the
@@ -153,12 +170,73 @@ class DiskANNIndex:
 
         return _finalize_ranked(dists, ids, k, metric)
 
-    # ── lifecycle ────────────────────────────────────────────────────────
+    # ── lifecycle: in-place updates (reference IP-DiskANN) ───────────────
 
     def on_commit(self, coll) -> None:
+        """Bring the graph up to date in place: repair edges into
+        newly-tombstoned nodes (diskann.rs:1337 delete repair + Alg-6
+        consolidation :502-560), link rows added since the last commit
+        (:1496 in-place insert), and re-link any live node that lost all
+        in-edges (covers restore-from-tombstone). A full rebuild runs only
+        when accumulated churn passes REBUILD_CHURN_FRACTION."""
         n = coll.n_rows
-        if n > self.built_rows and (n - self.built_rows) > TAIL_REBUILD_FRACTION * max(n, 1):
+        if n == 0 or self.built_rows == 0:
+            return
+        # churn = rows inserted since the last full build + rows currently
+        # tombstoned; repair work itself is maintenance, not churn
+        inserted = getattr(self, "_inserted_since_build", 0) + max(n - self.built_rows, 0)
+        tomb_count = coll.tombstones.count()
+        base = getattr(self, "_rows_at_build", self.built_rows)
+        # replacement churn: the fraction of the built corpus swapped out
+        if max(inserted, tomb_count) > REBUILD_CHURN_FRACTION * max(base, 1):
             self.rebuild(coll)
+            return
+        self._inserted_since_build = inserted
+
+        corpus = coll.corpus()
+        tombs = coll.tombstones.to_bool_array(n)
+        rows_dev = corpus._data[:n].astype(jnp.float32)
+        live = np.ones(n, dtype=bool)
+        live[: len(tombs)] &= ~tombs
+        changed = False
+
+        # entry points must stay live (a dead medoid strands the beam)
+        if not live[self._starts_np].all():
+            host = corpus.host_rows(np.arange(n))
+            live_rows = np.nonzero(live)[0]
+            if len(live_rows) == 0:
+                return
+            centroid = host[live_rows].mean(axis=0)
+            self.medoid = int(live_rows[np.argmin(((host[live_rows] - centroid) ** 2).sum(1))])
+            self._starts_np = self._compute_starts_live(host, live_rows)
+            changed = True
+        starts = jnp.asarray(self._starts_np.astype(np.int32))
+
+        repaired = repair_deleted_edges(
+            self.graph_np, tombs[: self.built_rows], rows_dev,
+            metric=self.metric, r=self.r, alpha=self.alpha,
+        )
+        changed = changed or bool(repaired)
+
+        if n > self.built_rows:
+            new_ids = np.arange(self.built_rows, n, dtype=np.int64)
+            new_ids = new_ids[live[self.built_rows : n]]
+            self.graph_np = insert_points(
+                self.graph_np, new_ids, rows_dev, starts, live,
+                metric=self.metric, r=self.r, l_build=self.l, alpha=self.alpha,
+            )
+            self.built_rows = n
+            changed = True
+
+        relinked = reconnect_orphans(
+            self.graph_np, live[: self.built_rows], rows_dev, starts,
+            metric=self.metric, r=self.r, l_build=self.l, alpha=self.alpha,
+        )
+        changed = changed or bool(relinked)
+
+        if changed:
+            self._graph_dev = None
+            self.save(coll)
 
     def rebuild(self, coll) -> None:
         from . import IndexBuildOptions
@@ -166,6 +244,8 @@ class DiskANNIndex:
         opts = IndexBuildOptions(r=self.r, l=self.l, alpha=self.alpha)
         fresh = DiskANNIndex.build(coll, self.mode, opts)
         self.__dict__.update(fresh.__dict__)
+        self._inserted_since_build = 0
+        self._rows_at_build = self.built_rows
 
 
 def _finalize_ranked(dists: np.ndarray, ids: np.ndarray, k: int, metric: Metric):

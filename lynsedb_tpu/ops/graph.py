@@ -212,46 +212,146 @@ def build_vamana(
 
     order = rng.permutation(n)
     for p in range(passes):
-        graph_dev = jnp.asarray(graph)
         for i in range(0, n, batch):
             ids = order[i : i + batch]
-            pad = batch - len(ids)
-            q_ids = np.concatenate([ids, np.zeros(pad, dtype=ids.dtype)]) if pad else ids
-            q = corpus_rows[jnp.asarray(q_ids)]
-            keys, cands = beam_search(
-                q, corpus_rows, graph_dev, starts, valid,
-                metric=metric, beam=l_build, max_steps=l_build * 2, k=l_build,
-            )
-            keys = np.asarray(keys)
-            cands = np.asarray(cands)
-            # drop self-candidates
-            self_mask = cands == q_ids[:, None]
-            cands = np.where(self_mask, -1, cands)
-            keys = np.where(self_mask, -np.inf, keys)
-            rows = corpus_rows[jnp.asarray(np.maximum(cands, 0))]
-            pair = np.asarray(candidate_pair_keys(rows, metric))
-            pruned = robust_prune_batch(keys, pair, cands, alpha_pass[p], r)
-            if pad:
-                pruned = pruned[: len(ids)]
-            graph[ids] = pruned.astype(np.int32)
-            # reverse edges: p joins each chosen neighbor's list; nodes whose
-            # lists overflow get a batched alpha re-prune (reference keeps
-            # graphs healthy the same way: prune on overflow, diskann.rs)
-            overflow: dict[int, list[int]] = {}
-            for row_i, point in enumerate(ids):
-                for nbr in pruned[row_i]:
-                    if nbr < 0:
-                        continue
-                    free = np.where(graph[nbr] < 0)[0]
-                    if len(free):
-                        graph[nbr, free[0]] = point
-                    else:
-                        overflow.setdefault(int(nbr), []).append(int(point))
-            if overflow:
-                _reprune_nodes(graph, overflow, corpus_rows, metric,
-                               alpha_pass[p], r)
-            graph_dev = jnp.asarray(graph)
+            _link_points_batch(graph, ids, corpus_rows, starts, valid,
+                               metric=metric, r=r, l_build=l_build,
+                               alpha=alpha_pass[p], batch=batch)
     return graph
+
+
+def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
+                       starts, valid, *, metric: Metric, r: int, l_build: int,
+                       alpha: float, batch: int) -> None:
+    """Link one batch of points into the graph: batched beam search for
+    candidates, alpha robust-prune for the points' own lists, reverse edges
+    into the chosen neighbors with overflow re-prune (reference:
+    diskann.rs:1084 parallel build step / :1496 in-place insert)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    pad = batch - len(ids)
+    q_ids = np.concatenate([ids, np.zeros(pad, dtype=ids.dtype)]) if pad > 0 else ids
+    graph_dev = jnp.asarray(graph)
+    q = corpus_rows[jnp.asarray(q_ids)]
+    keys, cands = beam_search(
+        q, corpus_rows, graph_dev, starts, valid,
+        metric=metric, beam=l_build, max_steps=l_build * 2, k=l_build,
+    )
+    keys = np.asarray(keys)
+    cands = np.asarray(cands)
+    # drop self-candidates
+    self_mask = cands == q_ids[:, None]
+    cands = np.where(self_mask, -1, cands)
+    keys = np.where(self_mask, -np.inf, keys)
+    rows = corpus_rows[jnp.asarray(np.maximum(cands, 0))]
+    pair = np.asarray(candidate_pair_keys(rows, metric))
+    pruned = robust_prune_batch(keys, pair, cands, alpha, r)
+    if pad > 0:
+        pruned = pruned[: len(ids)]
+    graph[ids] = pruned.astype(np.int32)
+    # reverse edges: the point joins each chosen neighbor's list; nodes whose
+    # lists overflow get a batched alpha re-prune (reference keeps graphs
+    # healthy the same way: prune on overflow, diskann.rs)
+    overflow: dict[int, list[int]] = {}
+    for row_i, point in enumerate(ids):
+        for nbr in pruned[row_i]:
+            if nbr < 0:
+                continue
+            free = np.where(graph[nbr] < 0)[0]
+            if len(free):
+                graph[nbr, free[0]] = point
+            else:
+                overflow.setdefault(int(nbr), []).append(int(point))
+    if overflow:
+        _reprune_nodes(graph, overflow, corpus_rows, metric, alpha, r)
+
+
+def insert_points(graph: np.ndarray, new_ids: np.ndarray, corpus_rows,
+                  starts, live_mask: np.ndarray, *, metric: Metric, r: int,
+                  l_build: int, alpha: float, batch: int = 1024) -> np.ndarray:
+    """In-place insert (IP-DiskANN, reference diskann.rs:1496): grow the
+    adjacency to cover ``corpus_rows`` and link each new point with the
+    batched build step. Returns the (possibly reallocated) graph."""
+    n_new_total = int(corpus_rows.shape[0])
+    if n_new_total > graph.shape[0]:
+        grown = np.full((n_new_total, graph.shape[1]), -1, dtype=np.int32)
+        grown[: graph.shape[0]] = graph
+        graph = grown
+    valid = jnp.asarray(live_mask[:n_new_total])
+    for i in range(0, len(new_ids), batch):
+        _link_points_batch(graph, new_ids[i : i + batch], corpus_rows, starts,
+                           valid, metric=metric, r=r, l_build=l_build,
+                           alpha=alpha, batch=min(batch, 1024))
+    return graph
+
+
+def repair_deleted_edges(graph: np.ndarray, deleted_mask: np.ndarray,
+                         corpus_rows, *, metric: Metric, r: int, alpha: float,
+                         batch: int = 1024) -> int:
+    """Delete repair (IP-DiskANN, reference diskann.rs:1337 + Alg-6
+    consolidation :502-560): every live node with an edge into a deleted
+    node replaces it with pruned candidates drawn from its own list plus the
+    deleted nodes' out-neighborhoods, so connectivity survives the removal.
+    Deleted nodes' own lists are cleared. Returns #nodes repaired."""
+    n = graph.shape[0]
+    dm = np.zeros(n, dtype=bool)
+    dm[: min(len(deleted_mask), n)] = deleted_mask[: min(len(deleted_mask), n)]
+    if not dm.any():
+        return 0
+    safe = np.maximum(graph, 0)
+    edge_to_deleted = (graph >= 0) & dm[safe]
+    affected = np.nonzero(edge_to_deleted.any(axis=1) & ~dm)[0]
+    c_width = 3 * r
+    for i in range(0, len(affected), batch):
+        chunk = affected[i : i + batch]
+        cands = np.full((len(chunk), c_width), -1, dtype=np.int64)
+        for row_i, node in enumerate(chunk):
+            kept, stitched = [], []
+            for nbr in graph[node]:
+                if nbr < 0:
+                    continue
+                if dm[nbr]:
+                    # stitch through the deleted neighbor's out-list
+                    stitched.extend(int(x) for x in graph[nbr] if x >= 0 and not dm[x] and x != node)
+                else:
+                    kept.append(int(nbr))
+            merged, seen = [], set()
+            for x in kept + stitched:
+                if x not in seen:
+                    seen.add(x)
+                    merged.append(x)
+            cands[row_i, : min(len(merged), c_width)] = merged[:c_width]
+        node_rows = corpus_rows[jnp.asarray(chunk)]
+        cand_rows = corpus_rows[jnp.asarray(np.maximum(cands, 0))]
+        point_keys = np.asarray(
+            jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(
+                node_rows, cand_rows
+            )
+        )
+        point_keys = np.where(cands >= 0, point_keys, -np.inf)
+        pair = np.asarray(candidate_pair_keys(cand_rows, metric))
+        pruned = robust_prune_batch(point_keys, pair, cands, alpha, r)
+        graph[chunk] = pruned.astype(np.int32)
+    graph[dm] = -1
+    return len(affected)
+
+
+def reconnect_orphans(graph: np.ndarray, live_mask: np.ndarray, corpus_rows,
+                      starts, *, metric: Metric, r: int, l_build: int,
+                      alpha: float) -> int:
+    """Re-link live nodes with zero in-degree (restored-from-tombstone rows
+    or stitching casualties) so they stay reachable. Returns #relinked."""
+    n = graph.shape[0]
+    flat = graph[graph >= 0]
+    indeg = np.bincount(flat, minlength=n) if len(flat) else np.zeros(n, dtype=np.int64)
+    live = np.zeros(n, dtype=bool)
+    live[: min(len(live_mask), n)] = live_mask[: min(len(live_mask), n)]
+    orphans = np.nonzero(live & (indeg == 0))[0]
+    orphans = orphans[~np.isin(orphans, np.asarray(starts))]
+    if len(orphans) == 0:
+        return 0
+    insert_points(graph, orphans, corpus_rows, starts, live,
+                  metric=metric, r=r, l_build=l_build, alpha=alpha)
+    return len(orphans)
 
 
 def _reprune_nodes(graph: np.ndarray, overflow: dict[int, list[int]],

@@ -138,3 +138,71 @@ def test_graph_index_persist_and_tail(db, graph_data, rng):
     d2, i2 = eng._index.search(eng, queries[:1], 5, mask=None, nprobe=64)
     assert i2.shape[1] == 5
     eng.close()
+
+
+def test_diskann_in_place_updates_hold_recall(db, rng):
+    """30% churn (deletes + inserts in waves) must hold recall@10 >= 0.9
+    WITHOUT a full rebuild (reference: test_diskann_ip_updates.py;
+    IP-DiskANN in-place repair diskann.rs:1337/:1496)."""
+    n0, d, k = 1500, 24, 10
+    base = rng.normal(size=(n0, d)).astype(np.float32)
+    coll = db.require_collection("dia_upd", dim=d, drop_if_exists=True)
+    coll.add(list(range(n0)), vectors=base)
+    coll.commit()
+    coll.build_index("DISKANN-L2", r=16, l=40)
+    eng = coll._engine
+    idx = eng._index
+    assert idx is not None and idx.kind == "diskann"
+
+    rebuilds = {"n": 0}
+    orig_rebuild = idx.rebuild
+    idx.rebuild = lambda c: (rebuilds.__setitem__("n", rebuilds["n"] + 1), orig_rebuild(c))
+
+    # churn in 3 waves: delete 150 + insert 150 each (30% total)
+    next_id = n0
+    all_vecs = {i: base[i] for i in range(n0)}
+    deleted = set()
+    for wave in range(3):
+        dead = rng.choice([i for i in sorted(all_vecs) if i not in deleted], size=150, replace=False)
+        coll.delete([int(x) for x in dead])
+        deleted.update(int(x) for x in dead)
+        fresh = rng.normal(size=(150, d)).astype(np.float32)
+        ids = list(range(next_id, next_id + 150))
+        coll.add(ids, vectors=fresh)
+        for j, i in enumerate(ids):
+            all_vecs[i] = fresh[j]
+        next_id += 150
+        coll.commit()  # triggers in-place repair + insert
+
+    assert rebuilds["n"] == 0, "in-place updates must not fall back to rebuild"
+
+    # brute-force ground truth over live rows
+    live_ids = np.array([i for i in sorted(all_vecs) if i not in deleted])
+    live_mat = np.stack([all_vecs[i] for i in live_ids])
+    queries = rng.normal(size=(20, d)).astype(np.float32)
+    hits = 0
+    for q in queries:
+        want = live_ids[np.argsort(((live_mat - q) ** 2).sum(1))[:k]]
+        res = coll.search(q, k=k)
+        hits += len(set(int(x) for x in res.ids) & set(want.tolist()))
+    recall = hits / (len(queries) * k)
+    assert recall >= 0.9, f"recall after churn {recall:.3f}"
+    # deleted ids never surface
+    res = coll.search(queries[0], k=50)
+    assert not (set(int(x) for x in res.ids) & deleted)
+
+
+def test_diskann_medoid_delete_recovers(db, rng):
+    d = 8
+    vecs = rng.normal(size=(300, d)).astype(np.float32)
+    coll = db.require_collection("dia_med", dim=d, drop_if_exists=True)
+    coll.add(list(range(300)), vectors=vecs)
+    coll.commit()
+    coll.build_index("DISKANN-L2", r=8, l=24)
+    idx = coll._engine._index
+    coll.delete([int(s) for s in idx._starts_np.tolist()])
+    coll.commit()
+    q = vecs[7]
+    res = coll.search(q, k=5)
+    assert len(res.ids) == 5
+    assert int(idx.medoid) not in [int(x) for x in res.ids]

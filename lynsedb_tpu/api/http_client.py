@@ -55,6 +55,15 @@ def _raise_on_error(resp):
     return resp
 
 
+
+def _wire_np_dtype(wire_dtype: str):
+    """Resolve a wire_dtype argument; float16 halves vector payload bytes
+    (reference: f16 wire encodings, cluster.py:270-533 / server/mod.rs:4649)."""
+    if wire_dtype not in ("float32", "float16"):
+        raise ValueError(f"wire_dtype must be float32 or float16, got {wire_dtype!r}")
+    return np.float16 if wire_dtype == "float16" else np.float32
+
+
 def _id_array(ids: list) -> np.ndarray:
     arr = np.array(ids, dtype=object)
     try:
@@ -243,7 +252,7 @@ class Collection:
         batch_size: int = 1000,
         wire_dtype: str = "float32",
     ):
-        del wire_dtype
+        wire_np = _wire_np_dtype(wire_dtype)
         from .records import attach_documents, normalize_documents
 
         docs, _ = normalize_documents(documents) if documents is not None else (None, False)
@@ -274,8 +283,9 @@ class Collection:
             if int_ids or eids is None:
                 try:
                     payload = {
-                        "vectors": vec[i:j].astype(np.float32).tobytes(),
+                        "vectors": vec[i:j].astype(wire_np).tobytes(),
                         "dim": int(vec.shape[1]),
+                        "wire_dtype": wire_dtype,
                     }
                     if eids is not None:
                         payload["ids"] = np.asarray(eids[i:j], dtype=np.int64).tobytes()
@@ -297,7 +307,7 @@ class Collection:
 
     def upsert(self, ids, *, vectors=None, documents=None, embed_func=None, fields=None,
                wire_dtype: str = "float32"):
-        del wire_dtype
+        wire_np = _wire_np_dtype(wire_dtype)
         from .records import attach_documents, normalize_documents, normalize_vectors
 
         eids, single = normalize_external_ids(ids)
@@ -310,11 +320,27 @@ class Collection:
         else:
             vec = normalize_vectors(vectors, n)
         field_list = attach_documents(normalize_fields(fields, n), docs)
-        out = self._post(
-            "/upsert",
-            {"ids": eids, "vectors": vec.tolist(),
-             "fields": field_list if any(f is not None for f in field_list) else None},
-        )["ids"]
+        has_fields = any(f is not None for f in field_list)
+        out = None
+        if all(isinstance(e, int) for e in eids):
+            try:
+                payload = {
+                    "vectors": vec.astype(wire_np).tobytes(),
+                    "dim": int(vec.shape[1]),
+                    "wire_dtype": wire_dtype,
+                    "ids": np.asarray(eids, dtype=np.int64).tobytes(),
+                }
+                if has_fields:
+                    payload["fields"] = field_list
+                out = self._binary_post("/upsert_records_binary", payload)["ids"]
+            except Exception:
+                out = None  # JSON fallback below
+        if out is None:
+            out = self._post(
+                "/upsert",
+                {"ids": eids, "vectors": vec.tolist(),
+                 "fields": field_list if has_fields else None},
+            )["ids"]
         self._maybe_build_default_index()
         self.COMMIT_FLAG = False
         return out[0] if single else out
@@ -483,7 +509,7 @@ class Collection:
         eps: float = 1e-4,
         wire_dtype: str = "float32",
     ) -> ResultView:
-        del wire_dtype
+        wire_np = _wire_np_dtype(wire_dtype)
         if (vector is None) == (document is None):
             raise ValueError("search() requires exactly one of vector or document")
         if document is not None:
@@ -494,12 +520,14 @@ class Collection:
             return_fields=return_fields, reranker=reranker, rerank_with_fields=rerank_with_fields
         )
         try:
-            # binary fast path: raw f32 vector out, int64 ids + f32 dists back
+            # binary fast path: raw vector bytes out (f32, or f16 at half
+            # the bytes when wire_dtype=float16), int64 ids + f32 dists back
             out = self._binary_post(
                 "/search_binary",
                 {
-                    "vector": vec.astype(np.float32).tobytes(),
+                    "vector": vec.astype(wire_np).tobytes(),
                     "dim": int(vec.shape[0]),
+                    "wire_dtype": wire_dtype,
                     "vector_field": vector_field,
                     "k": k,
                     "where": where,
@@ -551,13 +579,34 @@ class Collection:
     def batch_search(self, vectors, k: int = 10, *, where=None, return_fields: bool = False,
                      nprobe: int = 10, approx: bool = False, eps: float = 1e-4,
                      wire_dtype: str = "float32") -> List[ResultView]:
-        del wire_dtype
+        wire_np = _wire_np_dtype(wire_dtype)
         vec = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
-        out = self._post(
-            "/batch_search",
-            {"vectors": vec.tolist(), "k": k, "where": where,
-             "return_fields": return_fields, "nprobe": nprobe},
-        )["results"]
+        try:
+            raw = self._binary_post(
+                "/batch_search_binary",
+                {
+                    "vectors": vec.astype(wire_np).tobytes(),
+                    "dim": int(vec.shape[1]),
+                    "wire_dtype": wire_dtype,
+                    "k": k,
+                    "where": where,
+                    "nprobe": nprobe,
+                },
+            )["results"]
+            out = [
+                {
+                    "ids": self._decode_binary_ids(r).tolist(),
+                    "scores": np.frombuffer(r["distances"], dtype=np.float32).tolist(),
+                    "fields": r.get("fields", []),
+                }
+                for r in raw
+            ]
+        except Exception:
+            out = self._post(
+                "/batch_search",
+                {"vectors": vec.tolist(), "k": k, "where": where,
+                 "return_fields": return_fields, "nprobe": nprobe},
+            )["results"]
         return [
             self._finish(
                 items, return_fields=return_fields, reranker=None, rerank_k=None,

@@ -21,6 +21,8 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Optional
 
+import msgpack
+import numpy as np
 import requests
 
 from ..metrics import Metric
@@ -37,6 +39,46 @@ logger = logging.getLogger("lynsedb_tpu.cluster")
 
 HEALTH_INTERVAL_SECS = 1.0
 HEALTH_FAILURES = 3
+
+BINARY_CONTENT_TYPE = "application/x-lynse-binary"
+
+
+def binary_search_payload(body: dict, key: str = "vector") -> dict:
+    """JSON search body -> binary wire payload: vectors become raw LE bytes
+    (f32, or f16 when wire_dtype=float16 — half the shard-hop bytes)."""
+    wire = body.get("wire_dtype", "float32")
+    dt = np.float16 if wire == "float16" else np.float32
+    vec = np.asarray(body[key], dtype=dt)
+    out = {k: v for k, v in body.items() if k != key}
+    out[key] = vec.tobytes()
+    out["dim"] = int(vec.shape[-1])
+    out["wire_dtype"] = wire
+    return out
+
+
+def decode_binary_ranked(params: dict) -> dict:
+    """Shard /search_binary response -> the ranked-items dict merge_ranked
+    consumes."""
+    if params.get("ids_binary") is not None:
+        ids = np.frombuffer(params["ids_binary"], dtype=np.int64).tolist()
+    else:
+        ids = params.get("ids") or []
+    scores = np.frombuffer(params["distances"], dtype=np.float32).tolist() if params.get("distances") else []
+    return {"items": {"ids": ids, "scores": scores, "fields": params.get("fields") or []}}
+
+
+def encode_binary_ranked(items: dict, index_mode=None) -> dict:
+    """Merged ranked items -> the binary response shape binary clients
+    expect from /search_binary."""
+    ids = items.get("ids") or []
+    int_safe = all(isinstance(i, int) for i in ids)
+    return {
+        "ids_binary": np.asarray(ids, dtype=np.int64).tobytes() if int_safe and ids else (b"" if int_safe else None),
+        "ids": None if int_safe else ids,
+        "distances": np.asarray(items.get("scores") or [], dtype=np.float32).tobytes(),
+        "fields": items.get("fields") or [],
+        "index_mode": index_mode,
+    }
 
 
 def merge_ranked(results: list[dict], k: int, ascending: bool) -> dict:
@@ -95,6 +137,29 @@ class ClusterCoordinator:
                 msg = f"shard error {r.status_code}"
             raise ShardError(f"{uri}{endpoint}: {msg}")
         return r.json().get("params") or {}
+
+    def shard_post_binary(self, uri: str, endpoint: str, payload: dict) -> dict:
+        """Binary shard hop (reference: the Rust read coordinator's pooled
+        binary RPC, src/cluster.rs:25 + rpc.rs:21-30 — here msgpack over the
+        pooled HTTP session, raw LE vector payloads)."""
+        r = self._session().post(
+            uri.rstrip("/") + endpoint,
+            data=msgpack.packb(payload, use_bin_type=True),
+            headers={"Content-Type": BINARY_CONTENT_TYPE},
+            timeout=self.timeout,
+        )
+        if r.status_code != 200:
+            raise ShardError(f"{uri}{endpoint}: shard error {r.status_code}")
+        return msgpack.unpackb(r.content, raw=False, strict_map_key=False)
+
+    def fanout_read_binary(self, endpoint: str, payload: dict) -> list[dict]:
+        futures = [
+            self._executor.submit(
+                self.shard_post_binary, self.state.read_uri_for_group(g), endpoint, payload
+            )
+            for g in self.state.groups()
+        ]
+        return [f.result() for f in futures]
 
     def broadcast(self, endpoint: str, payload: dict, writable: bool = False) -> list[dict]:
         """Send to every shard group (primary + active replica mirrors when
@@ -287,16 +352,62 @@ class ClusterCoordinator:
 
     def search(self, body: dict) -> dict:
         k = int(body.get("k", 10))
-        results = self.fanout_read("/search", body)
+        try:
+            payload = binary_search_payload(body)
+            results = [
+                decode_binary_ranked(r)
+                for r in self.fanout_read_binary("/search_binary", payload)
+            ]
+        except (ShardError, Exception) as e:  # noqa: BLE001 — binary-capable shards are the norm; fall back once
+            logger.debug("binary fan-out fell back to JSON: %s", e)
+            results = self.fanout_read("/search", body)
         asc = self._ascending(body["database_name"], body["collection_name"])
         items = merge_ranked(results, k, asc)
         items["index_mode"] = (self.state.collection(
             body["database_name"], body["collection_name"]) or {}).get("index_mode")
         return {"items": items}
 
+    def search_binary(self, body: dict) -> dict:
+        """Binary front door: msgpack in, binary fan-out, msgpack out —
+        no JSON float encode anywhere on the read path."""
+        k = int(body.get("k", 10))
+        results = [
+            decode_binary_ranked(r)
+            for r in self.fanout_read_binary("/search_binary", body)
+        ]
+        asc = self._ascending(body["database_name"], body["collection_name"])
+        items = merge_ranked(results, k, asc)
+        mode = (self.state.collection(
+            body["database_name"], body["collection_name"]) or {}).get("index_mode")
+        return encode_binary_ranked(items, mode)
+
+    def batch_search_binary(self, body: dict) -> dict:
+        k = int(body.get("k", 10))
+        shard_results = self.fanout_read_binary("/batch_search_binary", body)
+        asc = self._ascending(body["database_name"], body["collection_name"])
+        n_q = max((len(r.get("results") or []) for r in shard_results), default=0)
+        out = []
+        for qi in range(n_q):
+            per_q = [
+                decode_binary_ranked((r.get("results") or [{}] * n_q)[qi])
+                for r in shard_results
+                if qi < len(r.get("results") or [])
+            ]
+            out.append(encode_binary_ranked(merge_ranked(per_q, k, asc)))
+        return {"results": out}
+
     def batch_search(self, body: dict) -> dict:
         k = int(body.get("k", 10))
-        results = self.fanout_read("/batch_search", body)
+        try:
+            payload = binary_search_payload(body, key="vectors")
+            shard_results = self.fanout_read_binary("/batch_search_binary", payload)
+            results = [
+                {"results": [decode_binary_ranked(x)["items"] for x in (r.get("results") or [])]}
+                for r in shard_results
+            ]
+        except Exception as e:  # noqa: BLE001
+            logger.debug("binary batch fan-out fell back to JSON: %s", e)
+            results = self.fanout_read("/batch_search", body)
         asc = self._ascending(body["database_name"], body["collection_name"])
         n_queries = len(body["vectors"])
         out = []
@@ -489,18 +600,31 @@ def build_coordinator_app(coordinator: ClusterCoordinator, lease: Optional[Coord
             body_raw = await request.read()
             loop = asyncio.get_running_loop()
 
+            fwd_type = request.headers.get("Content-Type", "application/json")
+
             def proxy():
                 return requests.post(
                     lease.leader_uri.rstrip("/") + path,
                     data=body_raw,
-                    headers={"Content-Type": "application/json",
+                    headers={"Content-Type": fwd_type,
                              **({"Authorization": f"Bearer {api_key}"} if api_key else {})},
                     timeout=60,
                 )
 
             resp = await loop.run_in_executor(None, proxy)
             return web.Response(
-                body=resp.content, status=resp.status_code, content_type="application/json"
+                body=resp.content, status=resp.status_code,
+                content_type=resp.headers.get("Content-Type", "application/json"),
+            )
+        if path in ("/search_binary", "/batch_search_binary"):
+            raw = await request.read()
+            body = msgpack.unpackb(raw, raw=False, strict_map_key=False)
+            loop = asyncio.get_running_loop()
+            method = coordinator.search_binary if path == "/search_binary" else coordinator.batch_search_binary
+            params = await loop.run_in_executor(None, method, body)
+            return web.Response(
+                body=msgpack.packb(params, use_bin_type=True),
+                content_type=BINARY_CONTENT_TYPE,
             )
         try:
             body = await request.json()
@@ -547,7 +671,8 @@ def build_coordinator_app(coordinator: ClusterCoordinator, lease: Optional[Coord
     app.router.add_get("/readyz", healthz)
     app.router.add_get("/cluster_info", cluster_info)
     app.router.add_get("/list_databases", list_databases)
-    for path in set(ROUTED_POST) | BROADCAST_POST | READ_BROADCAST_FIRST | NOT_IMPLEMENTED:
+    binary_paths = {"/search_binary", "/batch_search_binary"}
+    for path in set(ROUTED_POST) | BROADCAST_POST | READ_BROADCAST_FIRST | NOT_IMPLEMENTED | binary_paths:
         app.router.add_post(path, handle_post)
     return app
 

@@ -185,8 +185,6 @@ def test_cluster_via_client(cluster, rng):
     coord, _ = cluster
     client = lynse.VectorDBClient(coord.url)
     db = client.get_database("cdb")
-    coll = db.get_collection("c", warm_up=False) if False else None
-    # get_collection checks is_collection_exists which fans out; use require
     coll = db.require_collection("via_client", dim=4, default_index=None)
     coll.add([100, 200], vectors=rng.normal(size=(2, 4)).astype(np.float32))
     res = coll.search(np.ones(4, dtype=np.float32), k=2)
@@ -236,3 +234,50 @@ def test_cluster_failover(tmp_path_factory, rng):
     finally:
         coord.stop()
         replica.stop()
+
+
+def test_cluster_binary_read_path(cluster, rng):
+    """The coordinator fans reads out over the binary shard hop and serves a
+    binary front door (reference: src/cluster.rs:25 binary read coordinator)."""
+    import msgpack
+    import requests as _requests
+
+    coord, shards = cluster
+    url = coord.url
+    _post(url, "/create_database", {"database_name": "bindb"})
+    _post(url, "/required_collection",
+          {"database_name": "bindb", "collection_name": "c", "dim": 8})
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    _post(url, "/add", {"database_name": "bindb", "collection_name": "c",
+                        "ids": list(range(30)), "vectors": vecs.tolist()})
+    _post(url, "/commit", {"database_name": "bindb", "collection_name": "c"})
+
+    # JSON front door (internally binary fan-out) agrees with ground truth
+    items = _post(url, "/search", {"database_name": "bindb", "collection_name": "c",
+                                   "vector": vecs[3].tolist(), "k": 5})["items"]
+    want = np.argsort(-(vecs[3] @ vecs.T))[:5].tolist()
+    assert items["ids"] == want
+
+    # binary front door: msgpack + raw f32 vector in, binary ids/dists out
+    body = msgpack.packb({
+        "database_name": "bindb", "collection_name": "c",
+        "vector": vecs[3].astype(np.float32).tobytes(), "dim": 8, "k": 5,
+    }, use_bin_type=True)
+    resp = _requests.post(url + "/search_binary", data=body,
+                          headers={"Content-Type": "application/x-lynse-binary"}, timeout=30)
+    assert resp.status_code == 200, resp.text
+    out = msgpack.unpackb(resp.content, raw=False, strict_map_key=False)
+    ids = np.frombuffer(out["ids_binary"], dtype=np.int64).tolist()
+    dists = np.frombuffer(out["distances"], dtype=np.float32)
+    assert ids == want
+    assert len(dists) == 5
+    # f16 wire query through the binary front door
+    body16 = msgpack.packb({
+        "database_name": "bindb", "collection_name": "c",
+        "vector": vecs[3].astype(np.float16).tobytes(), "dim": 8, "k": 5,
+        "wire_dtype": "float16",
+    }, use_bin_type=True)
+    resp16 = _requests.post(url + "/search_binary", data=body16,
+                            headers={"Content-Type": "application/x-lynse-binary"}, timeout=30)
+    out16 = msgpack.unpackb(resp16.content, raw=False, strict_map_key=False)
+    assert np.frombuffer(out16["ids_binary"], dtype=np.int64).tolist() == want

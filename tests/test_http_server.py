@@ -190,3 +190,42 @@ def test_remote_snapshot_export(rdb, rng, tmp_path):
     coll.export_to(exp)
     imported = rdb.import_collection(exp, "c8_imported")
     assert imported.shape == (2, 4)
+
+
+def test_f16_wire_roundtrip(rdb, rng):
+    """wire_dtype=float16 is honored end-to-end: f16 vector payloads on add,
+    upsert and search (half the wire bytes), exact f32 engine state
+    (reference: f16 wire family, flat_mmap.rs:807-1074 / server/mod.rs:4649)."""
+    coll = rdb.require_collection("cf16", dim=16, drop_if_exists=True)
+    vecs = rng.normal(size=(64, 16)).astype(np.float32)
+    coll.add(list(range(64)), vectors=vecs, wire_dtype="float16")
+    coll.commit()
+    # f16 query upload: results must match an f32-wire query of the same vector
+    r16 = coll.search(vecs[5], k=5, wire_dtype="float16")
+    r32 = coll.search(vecs[5].astype(np.float16).astype(np.float32), k=5)
+    assert r16.ids.tolist() == r32.ids.tolist()
+    np.testing.assert_allclose(r16.distances, r32.distances, rtol=1e-6)
+    # stored rows are the f16-rounded values (the wire was honest, not ignored)
+    got = coll.query_vectors(where=None)
+    stored = {int(i): v for i, v in zip(got.ids.tolist(), np.asarray(got.vectors))}
+    np.testing.assert_allclose(stored[5], vecs[5].astype(np.float16).astype(np.float32), rtol=1e-6)
+    # f16 upsert
+    coll.upsert([5], vectors=(vecs[5] * 2).reshape(1, -1), wire_dtype="float16")
+    got2 = coll.query_vectors(where=None)
+    stored2 = {int(i): v for i, v in zip(got2.ids.tolist(), np.asarray(got2.vectors))}
+    np.testing.assert_allclose(
+        stored2[5], (vecs[5] * 2).astype(np.float16).astype(np.float32), rtol=1e-6
+    )
+    with pytest.raises(ValueError):
+        coll.search(vecs[0], k=3, wire_dtype="bfloat16")
+
+
+def test_batch_search_binary_fast_path(rdb, rng):
+    coll = rdb.require_collection("cbb", dim=8, drop_if_exists=True)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    coll.add(list(range(40)), vectors=vecs)
+    coll.commit()
+    out = coll.batch_search(vecs[:4], k=3)
+    want = np.argsort(-(vecs[:4] @ vecs.T), axis=1)[:, :3]
+    for b in range(4):
+        assert out[b].ids.tolist() == want[b].tolist()

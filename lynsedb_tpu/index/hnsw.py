@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..metrics import Metric
-from ..ops.graph import beam_search, build_vamana, exact_knn_graph
+from ..ops.graph import beam_search, build_vamana, exact_knn_graph, insert_points
 from ..storage.vector_store import write_atomic
 from .diskann import _finalize_ranked
 
@@ -28,7 +28,10 @@ DEFAULT_M = 16
 DEFAULT_EF_CONSTRUCTION = 128
 DEFAULT_EF_SEARCH = 50
 LAYER_DECAY = 16  # upper layer subsample ratio
-TAIL_REBUILD_FRACTION = 0.2
+# Layer-0 gets true incremental inserts (reference: hnsw.rs:784
+# insert_point); a full rebuild (which also refreshes the upper subsample
+# layers) is only the backstop past this growth fraction.
+REBUILD_GROWTH_FRACTION = 0.5
 
 
 class HNSWIndex:
@@ -183,9 +186,38 @@ class HNSWIndex:
     # ── lifecycle ────────────────────────────────────────────────────────
 
     def on_commit(self, coll) -> None:
+        """Incremental layer-0 insert of rows added since the last commit
+        (reference: hnsw.rs:784 insert_point, here batched as the Vamana
+        link step). The sparse upper layers keep their subsample until the
+        growth-fraction rebuild refreshes them — they only seed the descent,
+        so a stale subsample costs a few extra beam steps, not recall."""
         n = coll.n_rows
-        if n > self.built_rows and (n - self.built_rows) > TAIL_REBUILD_FRACTION * max(n, 1):
+        if n <= self.built_rows:
+            return
+        base = getattr(self, "_rows_at_build", self.built_rows)
+        grown = getattr(self, "_inserted_since_build", 0) + (n - self.built_rows)
+        if grown > REBUILD_GROWTH_FRACTION * max(base, 1):
             self.rebuild(coll)
+            return
+        corpus = coll.corpus()
+        rows_dev = corpus._data[:n].astype(jnp.float32)
+        tombs = coll.tombstones.to_bool_array(n)
+        live = np.ones(n, dtype=bool)
+        live[: len(tombs)] &= ~tombs
+        new_ids = np.arange(self.built_rows, n, dtype=np.int64)
+        new_ids = new_ids[live[self.built_rows : n]]
+        starts = np.unique(
+            np.concatenate([[self.entry], self.upper[-1]["nodes"] if self.upper else []])
+        ).astype(np.int32)
+        self.layer0_np = insert_points(
+            self.layer0_np, new_ids, rows_dev, jnp.asarray(starts), live,
+            metric=self.metric, r=self.m, l_build=max(self.ef_construction // 2, self.m * 2),
+            alpha=1.2,
+        )
+        self._inserted_since_build = grown
+        self.built_rows = n
+        self._dev = None
+        self.save(coll)
 
     def rebuild(self, coll) -> None:
         from . import IndexBuildOptions
@@ -195,3 +227,5 @@ class HNSWIndex:
         )
         fresh = HNSWIndex.build(coll, self.mode, opts)
         self.__dict__.update(fresh.__dict__)
+        self._inserted_since_build = 0
+        self._rows_at_build = self.built_rows

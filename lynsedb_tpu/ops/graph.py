@@ -252,6 +252,7 @@ def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
     # lists overflow get a batched alpha re-prune (reference keeps graphs
     # healthy the same way: prune on overflow, diskann.rs)
     overflow: dict[int, list[int]] = {}
+    placed: set[int] = set()
     for row_i, point in enumerate(ids):
         for nbr in pruned[row_i]:
             if nbr < 0:
@@ -259,10 +260,24 @@ def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
             free = np.where(graph[nbr] < 0)[0]
             if len(free):
                 graph[nbr, free[0]] = point
+                placed.add(int(point))
             else:
                 overflow.setdefault(int(nbr), []).append(int(point))
     if overflow:
         _reprune_nodes(graph, overflow, corpus_rows, metric, alpha, r)
+        for node, reqs in overflow.items():
+            survivors = set(int(x) for x in graph[node] if x >= 0)
+            placed.update(req for req in reqs if req in survivors)
+    # reachability floor: a point whose reverse edges were all alpha-pruned
+    # (an outlier) gets a forced back-edge from its closest neighbor — else
+    # it has in-degree 0 and the beam can never discover it (the reference's
+    # sequential insert_point keeps at least the bidirectional link too)
+    for row_i, point in enumerate(ids):
+        if int(point) in placed:
+            continue
+        nearest = next((int(x) for x in pruned[row_i] if x >= 0), -1)
+        if nearest >= 0:
+            graph[nearest, r - 1] = point
 
 
 def insert_points(graph: np.ndarray, new_ids: np.ndarray, corpus_rows,

@@ -206,3 +206,34 @@ def test_diskann_medoid_delete_recovers(db, rng):
     res = coll.search(q, k=5)
     assert len(res.ids) == 5
     assert int(idx.medoid) not in [int(x) for x in res.ids]
+
+
+def test_hnsw_incremental_insert_holds_recall(db, rng):
+    """Adding 30% new rows after build must link them into layer 0 in place
+    (reference: hnsw.rs:784 insert_point) — no rebuild, recall >= 0.9, new
+    rows discoverable through the graph path (not just the tail scan)."""
+    n0, d, k = 1200, 16, 10
+    base = rng.normal(size=(n0, d)).astype(np.float32)
+    coll = db.require_collection("hnsw_upd", dim=d, drop_if_exists=True)
+    coll.add(list(range(n0)), vectors=base)
+    coll.commit()
+    coll.build_index("HNSW-L2", m=12, ef_construction=48)
+    idx = coll._engine._index
+    rebuilds = {"n": 0}
+    orig = idx.rebuild
+    idx.rebuild = lambda c: (rebuilds.__setitem__("n", rebuilds["n"] + 1), orig(c))
+
+    fresh = rng.normal(size=(360, d)).astype(np.float32)
+    coll.add(list(range(n0, n0 + 360)), vectors=fresh)
+    coll.commit()
+    assert rebuilds["n"] == 0
+    assert idx.built_rows == n0 + 360  # inserted, not tail-scanned
+
+    allv = np.concatenate([base, fresh])
+    queries = rng.normal(size=(15, d)).astype(np.float32)
+    hits = 0
+    for q in queries:
+        want = np.argsort(((allv - q) ** 2).sum(1))[:k]
+        res = coll.search(q, k=k)
+        hits += len(set(int(x) for x in res.ids) & set(int(x) for x in want))
+    assert hits / (15 * k) >= 0.9

@@ -417,7 +417,7 @@ class ClusterCoordinator:
         return {"results": out}
 
     def bm25_search(self, body: dict) -> dict:
-        results = self.fanout_read("/bm25_search", body)
+        results = self.fanout_read("/text_search", body)
         return {"items": merge_ranked(results, int(body.get("k", 10)), ascending=False)}
 
     def sparse_search(self, body: dict) -> dict:

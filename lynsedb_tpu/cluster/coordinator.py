@@ -114,6 +114,7 @@ class ClusterCoordinator:
         self._executor = ThreadPoolExecutor(max_workers=32)
         self._tls = threading.local()
         self._health_failures: dict[str, int] = {}
+        self._rpc_down: dict[str, bool] = {}
         self._stop = threading.Event()
         self._health_thread: Optional[threading.Thread] = None
 
@@ -154,12 +155,69 @@ class ClusterCoordinator:
 
     def fanout_read_binary(self, endpoint: str, payload: dict) -> list[dict]:
         futures = [
-            self._executor.submit(
-                self.shard_post_binary, self.state.read_uri_for_group(g), endpoint, payload
-            )
+            self._executor.submit(self._shard_read_binary, g, endpoint, payload)
             for g in self.state.groups()
         ]
         return [f.result() for f in futures]
+
+    def _rpc(self):
+        from ..server.rpc import RpcClient
+
+        c = getattr(self._tls, "rpc", None)
+        if c is None:
+            c = RpcClient(api_key=self.api_key, timeout=self.timeout)
+            self._tls.rpc = c
+        return c
+
+    def _shard_read_binary(self, group: dict, endpoint: str, payload: dict) -> dict:
+        """One shard's binary read: the pooled TCP RPC plane first
+        (reference: rpc.rs SEARCH/BATCH_SEARCH opcodes, port derived from the
+        shard's HTTP port, cluster.py:86), binary HTTP as fallback."""
+        uri = self.state.read_uri_for_group(group)
+        op = "SEARCH" if endpoint == "/search_binary" else (
+            "BATCH_SEARCH" if endpoint == "/batch_search_binary" else None)
+        if op is not None and not self._rpc_down.get(uri):
+            try:
+                return self._shard_rpc_search(uri, op, payload)
+            except Exception as e:  # noqa: BLE001 — any RPC failure demotes to HTTP
+                logger.debug("rpc to %s failed (%s); using binary HTTP", uri, e)
+                self._rpc_down[uri] = True
+        return self.shard_post_binary(uri, endpoint, payload)
+
+    def _shard_rpc_search(self, uri: str, op: str, payload: dict) -> dict:
+        from urllib.parse import urlparse
+
+        from ..server.rpc import (
+            decode_batch_search_response,
+            decode_search_response,
+            derive_rpc_port,
+        )
+
+        parsed = urlparse(uri)
+        host, port = parsed.hostname, derive_rpc_port(parsed.port or 80)
+        meta = {k: v for k, v in payload.items() if k not in ("vector", "vectors")}
+        meta["op"] = op
+        raw = payload.get("vector") if op == "SEARCH" else payload.get("vectors")
+        out_meta, out_payload = self._rpc().call(host, port, meta, raw or b"")
+        if op == "SEARCH":
+            ids, dists = decode_search_response(out_meta, out_payload)
+            return {
+                "ids_binary": np.asarray(ids, dtype=np.int64).tobytes()
+                if out_meta["int_ids"] else None,
+                "ids": None if out_meta["int_ids"] else ids,
+                "distances": np.asarray(dists, dtype=np.float32).tobytes(),
+                "fields": out_meta.get("fields") or [],
+                "index_mode": out_meta.get("index_mode"),
+            }
+        results = []
+        for ids, dists in decode_batch_search_response(out_meta, out_payload):
+            results.append({
+                "ids_binary": np.asarray(ids, dtype=np.int64).tobytes()
+                if out_meta["int_ids"] else None,
+                "ids": None if out_meta["int_ids"] else ids,
+                "distances": np.asarray(dists, dtype=np.float32).tobytes(),
+            })
+        return {"results": results, "index_mode": out_meta.get("index_mode")}
 
     def broadcast(self, endpoint: str, payload: dict, writable: bool = False) -> list[dict]:
         """Send to every shard group (primary + active replica mirrors when

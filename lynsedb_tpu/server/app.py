@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import base64
+import os
 import json
 import logging
 import time
@@ -977,6 +978,22 @@ def make_server(root_path: str, **kwargs) -> LynseServer:
 
 def run_server(root_path: str, host: str = "127.0.0.1", port: int = 7637, **kwargs) -> None:
     server = make_server(root_path, **kwargs)
+    # internal binary RPC plane beside HTTP (reference: run_server spawns the
+    # RPC listener unless disabled, server/mod.rs:5060)
+    if not os.environ.get("LYNSE_DISABLE_INTERNAL_RPC"):
+        from .rpc import RpcServer, derive_rpc_port
+
+        rpc = RpcServer(server.manager, api_key=server.api_key,
+                        metadata_path=str(server.manager.root / ".rpc_metadata.json"))
+
+        async def _start_rpc(app):
+            await rpc.start(host, derive_rpc_port(port))
+
+        async def _stop_rpc(app):
+            await rpc.stop()
+
+        server.app.on_startup.append(_start_rpc)
+        server.app.on_cleanup.append(_stop_rpc)
     web.run_app(server.app, host=host, port=port, print=None)
 
 
@@ -1010,6 +1027,18 @@ class BackgroundServer:
             real_port = runner.addresses[0][1]
             self.port = real_port
             self._runner = runner
+            self._rpc = None
+            if not os.environ.get("LYNSE_DISABLE_INTERNAL_RPC"):
+                from .rpc import RpcServer, derive_rpc_port
+
+                self._rpc = RpcServer(
+                    self.server.manager, api_key=self.server.api_key,
+                    metadata_path=str(self.server.manager.root / ".rpc_metadata.json"),
+                )
+                try:
+                    self.rpc_port = await self._rpc.start(self.host, derive_rpc_port(real_port))
+                except OSError:  # derived port taken — fall back to ephemeral
+                    self.rpc_port = await self._rpc.start(self.host, 0)
             self._started.set()
 
         loop.run_until_complete(start())
@@ -1022,6 +1051,8 @@ class BackgroundServer:
     def stop(self):
         if self._loop:
             async def shutdown():
+                if getattr(self, "_rpc", None) is not None:
+                    await self._rpc.stop()
                 await self._runner.cleanup()
                 self._loop.stop()
 

@@ -281,3 +281,80 @@ def test_cluster_binary_read_path(cluster, rng):
                             headers={"Content-Type": "application/x-lynse-binary"}, timeout=30)
     out16 = msgpack.unpackb(resp16.content, raw=False, strict_map_key=False)
     assert np.frombuffer(out16["ids_binary"], dtype=np.int64).tolist() == want
+
+
+def test_rpc_plane_direct(tmp_path_factory, rng):
+    """The internal TCP RPC plane (reference: rpc.rs opcodes :21-30) serves
+    binary reads/writes beside HTTP."""
+    import numpy as np
+
+    from lynsedb_tpu.server.rpc import (
+        RpcClient,
+        decode_batch_search_response,
+        decode_search_response,
+    )
+
+    srv = BackgroundServer(str(tmp_path_factory.mktemp("rpc") / "s"), port=0)
+    try:
+        assert getattr(srv, "rpc_port", None), "rpc listener did not start"
+        rpc = RpcClient()
+        host = srv.host
+        meta, _ = rpc.call(host, srv.rpc_port, {"op": "PING"})
+        assert meta["pong"]
+
+        vecs = rng.normal(size=(25, 8)).astype(np.float32)
+        # bootstrap db/collection over HTTP, then write over RPC
+        requests.post(srv.url + "/create_database", json={"database_name": "d"}, timeout=10)
+        requests.post(srv.url + "/required_collection",
+                      json={"database_name": "d", "collection_name": "c", "dim": 8}, timeout=10)
+        base = {"database_name": "d", "collection_name": "c", "dim": 8}
+        meta, _ = rpc.call(host, srv.rpc_port,
+                           {**base, "op": "BULK_ADD_BINARY_IDS",
+                            "ids": np.arange(25, dtype=np.int64).tobytes()},
+                           vecs.tobytes())
+        assert meta["ids"] == list(range(25))
+        rpc.call(host, srv.rpc_port, {**base, "op": "COLLECTION_CONTROL", "action": "commit"})
+
+        meta, payload = rpc.call(host, srv.rpc_port,
+                                 {**base, "op": "SEARCH", "k": 5}, vecs[3].tobytes())
+        ids, dists = decode_search_response(meta, payload)
+        want = np.argsort(-(vecs[3] @ vecs.T))[:5].tolist()
+        assert ids == want
+        assert len(dists) == 5
+
+        meta, payload = rpc.call(host, srv.rpc_port,
+                                 {**base, "op": "BATCH_SEARCH", "k": 3}, vecs[:2].tobytes())
+        per_q = decode_batch_search_response(meta, payload)
+        assert len(per_q) == 2 and len(per_q[0][0]) == 3
+
+        meta, _ = rpc.call(host, srv.rpc_port,
+                           {**base, "op": "DELETE_ITEMS", "ids": [3]})
+        assert meta["deleted"] == 1
+        # f16 wire over RPC
+        meta, payload = rpc.call(host, srv.rpc_port,
+                                 {**base, "op": "SEARCH", "k": 5, "wire_dtype": "float16"},
+                                 vecs[4].astype(np.float16).tobytes())
+        ids16, _ = decode_search_response(meta, payload)
+        assert 3 not in ids16
+        rpc.close()
+    finally:
+        srv.stop()
+
+
+def test_coordinator_rides_rpc_plane(cluster, rng):
+    """Coordinator reads go over pooled TCP RPC when the shards' derived RPC
+    ports answer — not the HTTP fallback."""
+    coord, shards = cluster
+    assert all(getattr(s, "rpc_port", None) for s in shards)
+    url = coord.url
+    _post(url, "/required_collection",
+          {"database_name": "cdb", "collection_name": "rpcc", "dim": 8})
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    _post(url, "/add", {"database_name": "cdb", "collection_name": "rpcc",
+                        "ids": list(range(30)), "vectors": vecs.tolist()})
+    items = _post(url, "/search", {"database_name": "cdb", "collection_name": "rpcc",
+                                   "vector": vecs[2].tolist(), "k": 5})["items"]
+    want = np.argsort(-(vecs[2] @ vecs.T))[:5].tolist()
+    assert items["ids"] == want
+    # no shard was demoted to the HTTP fallback
+    assert not coord.coordinator._rpc_down, coord.coordinator._rpc_down

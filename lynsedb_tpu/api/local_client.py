@@ -203,7 +203,7 @@ class LocalCollection:
         """Add records. When ``ids`` is omitted, sequential integer IDs are
         assigned after the current max ID. Provide ``vectors`` or
         ``documents`` (lazy embedding)."""
-        del wire_dtype
+        del wire_dtype  # embedded mode has no wire; kept for HTTPClient API parity
         if not isinstance(batch_size, int) or batch_size <= 0:
             raise ValueError("batch_size must be a positive integer")
 
@@ -261,7 +261,7 @@ class LocalCollection:
         fields=None,
         wire_dtype: str = "float32",
     ):
-        del wire_dtype
+        del wire_dtype  # embedded mode has no wire; kept for HTTPClient API parity
         eids, single = normalize_external_ids(ids)
         n = len(eids)
         docs, _ = normalize_documents(documents, n) if documents is not None else (None, False)
@@ -422,7 +422,7 @@ class LocalCollection:
         eps: float = 1e-4,
         wire_dtype: str = "float32",
     ) -> ResultView:
-        del wire_dtype
+        del wire_dtype  # embedded mode has no wire; kept for HTTPClient API parity
         eps = float(eps)
         if (vector is None) == (document is None):
             raise ValueError("search() requires exactly one of vector or document")
@@ -646,7 +646,7 @@ class LocalCollection:
         eps: float = 1e-4,
         wire_dtype: str = "float32",
     ) -> List[ResultView]:
-        del wire_dtype
+        del wire_dtype  # embedded mode has no wire; kept for HTTPClient API parity
         q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
         res = self._engine.batch_search(
             q, k=k, where=where, field_name=vector_field, nprobe=nprobe, approx=approx, eps=eps

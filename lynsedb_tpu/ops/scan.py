@@ -455,7 +455,8 @@ class DeviceCorpus:
         self._sq: Optional[jnp.ndarray] = None  # (cap,) f32 bf16-row norms
         self._valid_base: Optional[jnp.ndarray] = None
         self._transforms: dict[Metric, dict] = {}
-        self._mesh_dirty = True
+        self._dirty = True
+        self._dirty_lo = 0
 
     # ── mesh sharding helpers ────────────────────────────────────────────
 
@@ -478,20 +479,54 @@ class DeviceCorpus:
             return ROW_BLOCK
         return ROW_BLOCK * int(self.mesh.shape["corpus"])
 
+    def _cap_for(self, n: int) -> int:
+        """Bucketed capacity: round up to the row alignment, then to one of
+        ~8 sub-steps per power-of-two octave — bounds the number of distinct
+        compiled scan shapes without geometric slack."""
+        align = self._row_align()
+        need = _round_up(max(n, 1), align)
+        if need <= align * 8:
+            return need
+        octave = 1 << (need.bit_length() - 1)
+        step = max(octave // 8, align)
+        return _round_up(need, step)
+
     def _ensure_staged(self) -> None:
-        """Mesh mode stages lazily from host state: a full sharded
-        device_put per change epoch (bulk-load-then-serve shape) instead of
-        the single-device incremental updates."""
-        if self.mesh is None or not self._mesh_dirty or self.n == 0:
+        """Stage (or refresh) the device scan array from the host mirror.
+
+        Appends/overwrites touch only the host mirror; the bf16 HBM array is
+        built here on demand. Small contiguous tails update in place; larger
+        changes (or capacity changes) restage fully — dropping the old
+        buffer FIRST so peak HBM never doubles (a 20M x 128 corpus is 5.1 GB
+        bf16; transiently holding two copies was how the old geometric-growth
+        path ran a 16 GB chip out of memory)."""
+        if not self._dirty or self.n == 0:
             return
-        cap = _round_up(max(self.n, 1), self._row_align())
-        full16 = np.zeros((cap, self.dim), dtype=ml_dtypes.bfloat16)
-        full16[: self.n] = self._host[: self.n].astype(ml_dtypes.bfloat16)
-        self._dev16 = _put(full16, self._rows_sharding())
-        self.capacity = cap
+        cap = self._cap_for(self.n)
+        incremental = (
+            self._dev16 is not None
+            and cap == self.capacity
+            and self.mesh is None
+            and (self.n - self._dirty_lo) * 2 <= self.n
+        )
+        if incremental:
+            lo = self._dirty_lo
+            rows16 = jnp.asarray(self._host[lo : self.n].astype(ml_dtypes.bfloat16))
+            self._dev16 = jax.lax.dynamic_update_slice(self._dev16, rows16, (lo, 0))
+            if self._dev32 is not None:
+                self._dev32 = jax.lax.dynamic_update_slice(
+                    self._dev32, jnp.asarray(self._host[lo : self.n]), (lo, 0)
+                )
+        else:
+            self._dev16 = None  # free before reallocating
+            self._dev32 = None
+            full16 = np.zeros((cap, self.dim), dtype=ml_dtypes.bfloat16)
+            full16[: self.n] = self._host[: self.n].astype(ml_dtypes.bfloat16)
+            self._dev16 = _put(full16, self._rows_sharding())
+            self.capacity = cap
         self._stage_tombs()
-        self._dev32 = None
-        self._mesh_dirty = False
+        self._dirty = False
+        self._dirty_lo = self.n
 
     # ── data management ──────────────────────────────────────────────────
 
@@ -500,28 +535,6 @@ class DeviceCorpus:
         self._sq = None
         self._valid_base = None
         self._transforms.clear()
-        self._mesh_dirty = True
-
-    def _grow(self, need: int) -> None:
-        if self.mesh is not None:
-            return  # mesh mode restages from host in _ensure_staged
-        new_cap = max(ROW_BLOCK, self.capacity)
-        while new_cap < need:
-            new_cap *= 2
-        if new_cap == self.capacity:
-            return
-        pad_rows = new_cap - self.capacity
-        zeros16 = jnp.zeros((pad_rows, self.dim), dtype=jnp.bfloat16)
-        if self._dev16 is None:
-            self._dev16 = zeros16
-        else:
-            self._dev16 = jnp.concatenate([self._dev16, zeros16], axis=0)
-        if self._dev32 is not None:
-            self._dev32 = jnp.concatenate(
-                [self._dev32, jnp.zeros((pad_rows, self.dim), dtype=jnp.float32)], axis=0
-            )
-        self.capacity = new_cap
-        self._stage_tombs()
 
     def _stage_tombs(self) -> None:
         full = np.zeros(self.capacity, dtype=bool)
@@ -544,14 +557,8 @@ class DeviceCorpus:
             host[: self.n] = self._host[: self.n]
             self._host = host
         self._host[self.n : self.n + m] = rows
-        if self.mesh is None:
-            self._grow(self.n + m)
-            dev16 = jnp.asarray(rows.astype(ml_dtypes.bfloat16))
-            self._dev16 = jax.lax.dynamic_update_slice(self._dev16, dev16, (self.n, 0))
-            if self._dev32 is not None:
-                self._dev32 = jax.lax.dynamic_update_slice(
-                    self._dev32, jnp.asarray(rows), (self.n, 0)
-                )
+        self._dirty_lo = min(self._dirty_lo, self.n)
+        self._dirty = True
         self.n += m
         self._invalidate()
 
@@ -560,35 +567,30 @@ class DeviceCorpus:
         rows = np.ascontiguousarray(rows, dtype=np.float32)
         ids = np.asarray(row_ids, dtype=np.int32)
         self._host[ids] = rows
-        if self.mesh is None:
+        if self._dev16 is not None and not self._dirty and self.mesh is None:
             idx = jnp.asarray(ids)
             self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows.astype(ml_dtypes.bfloat16)))
             if self._dev32 is not None:
                 self._dev32 = self._dev32.at[idx].set(jnp.asarray(rows))
+        else:
+            self._dirty_lo = 0  # scattered rows: full restage
+            self._dirty = True
         self._invalidate()
 
     def set_tombstones(self, tombs: np.ndarray) -> None:
         """Replace the tombstone mask from the host bitset (first n rows)."""
         self._tombs_np = np.asarray(tombs, dtype=bool)
-        if self.capacity:
+        if self.capacity and not self._dirty:
             self._stage_tombs()
         self._valid_base = None
         self.epoch += 1
 
     def finalize(self) -> None:
-        """Trim device capacity to the occupied prefix (called at commit
-        boundaries) so steady-state scans touch no growth slack."""
-        if self.mesh is not None:
-            return  # mesh staging is already exact-size
-        want = _round_up(max(self.n, 1), ROW_BLOCK)
-        if self.capacity <= want or self._dev16 is None:
-            return
-        self._dev16 = jnp.asarray(self._dev16[:want])
-        if self._dev32 is not None:
-            self._dev32 = jnp.asarray(self._dev32[:want])
-        self.capacity = want
-        self._stage_tombs()
-        self._invalidate()
+        """Stage pending changes and trim growth slack (called at commit
+        boundaries) so the first post-commit search pays no staging."""
+        if self.n and self.capacity != self._cap_for(self.n):
+            self._dirty = True  # capacity change forces a full restage
+        self._ensure_staged()
 
     def reset(self) -> None:
         self.n = 0
@@ -598,12 +600,15 @@ class DeviceCorpus:
         self._dev32 = None
         self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs = None
+        self._dirty = True
+        self._dirty_lo = 0
         self._invalidate()
 
     # ── derived state ────────────────────────────────────────────────────
 
     @property
     def n_pad(self) -> int:
+        self._ensure_staged()
         return self.capacity
 
     @property

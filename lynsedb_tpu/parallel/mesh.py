@@ -17,7 +17,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 promotes shard_map out of experimental (check_rep -> check_vma)
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from functools import wraps
+
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
+
+    @wraps(_legacy_shard_map)
+    def shard_map(f=None, /, *, check_vma=True, **kw):
+        return _legacy_shard_map(f, check_rep=check_vma, **kw)
 
 from ..metrics import Metric
 from ..ops import distance as D
@@ -85,7 +95,7 @@ def sharded_search_fn(mesh: Mesh, *, metric: Metric, k: int):
         mesh=mesh,
         in_specs=(P("corpus", None), P("data", None), P("corpus")),
         out_specs=(P("data", None), P("data", None)),
-        check_rep=False,
+        check_vma=False,
     )
     def step(x_local, q_local, valid_local):
         n_local = x_local.shape[0]
@@ -113,7 +123,7 @@ def sharded_kmeans_step_fn(mesh: Mesh):
         mesh=mesh,
         in_specs=(P("corpus", None), P(None, None), P("corpus")),
         out_specs=(P(None, None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
     def step(x_local, centroids, valid_local):
         kc = centroids.shape[0]

@@ -350,3 +350,23 @@ def test_search_profile_rerank_us(populated_collection):
     assert prof["total_us"] >= prof["rerank_us"]
     prof2 = coll.search_profile(vectors[0], k=5)
     assert prof2["rerank_us"] == 0
+
+
+def test_float16_storage_dtype_end_to_end(db, rng):
+    """dtypes='float16' halves on-disk vector bytes (reference: dtype.rs f16
+    store family) while searches stay correct (values round-trip f16)."""
+    d = 32
+    vecs = rng.normal(size=(500, d)).astype(np.float32)
+    c16 = db.require_collection("f16c", dim=d, dtypes="float16", drop_if_exists=True)
+    c32 = db.require_collection("f32c", dim=d, dtypes="float32", drop_if_exists=True)
+    for coll in (c16, c32):
+        coll.add(list(range(500)), vectors=vecs)
+        coll.commit()
+    assert c16._engine.store.disk_bytes() * 2 <= c32._engine.store.disk_bytes() + 4096
+    q = vecs[9]
+    r16 = c16.search(q, k=5)
+    want = np.argsort(-(vecs.astype(np.float16).astype(np.float32) @ q))[:5]
+    assert int(r16.ids[0]) == int(want[0])
+    # reopen from disk: rows come back f16-rounded
+    row = c16._engine.row_vector(9)
+    np.testing.assert_allclose(row, vecs[9].astype(np.float16).astype(np.float32), rtol=1e-3)

@@ -116,7 +116,7 @@ def main() -> None:
 
         # ── batched throughput (amortized HBM reads; fresh queries per rep
         #    so transport-level memoization can't flatter the numbers) ─────
-        for batch in (16, 64, 256):
+        for batch in (16, 64):
             coll.batch_search(queries[:batch], k=K)  # compile
             reps = 5
             qsets = [

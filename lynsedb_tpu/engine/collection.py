@@ -19,6 +19,7 @@ import json
 import shutil
 import threading
 import time
+from functools import partial
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Optional
@@ -755,13 +756,23 @@ class Collection:
             handle = self.resolve_filter(where)
             corpus = self.corpus()
             window = max(1, int(window))
+            n_q = len(q)
+            # pad the stream to whole windows: one compiled executable serves
+            # every window, and padded rows ride dispatches that are charged
+            # per chain, not per row
+            n_pad = ((n_q + window - 1) // window) * window
+            if n_pad != n_q:
+                q = np.concatenate([q, np.zeros((n_pad - n_q, q.shape[1]), q.dtype)])
+
             in_flight: list = []
             results: list[SearchResult] = []
 
             def drain_one():
-                resolver, live_rows = in_flight.pop(0)
+                resolver = in_flight.pop(0)
                 dists, ids = resolver()
-                for row in range(live_rows):
+                for row in range(dists.shape[0]):
+                    if len(results) >= n_q:
+                        return
                     live = ids[row] >= 0
                     results.append(
                         SearchResult(
@@ -772,20 +783,33 @@ class Collection:
                         )
                     )
 
-            for s in range(0, len(q), window):
-                chunk = q[s : s + window]
-                live_rows = chunk.shape[0]
-                if live_rows < window:
-                    # pad the final window to the common shape: one compiled
-                    # executable serves every window, and padded rows ride a
-                    # dispatch that is charged per chain, not per row
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((window - live_rows, chunk.shape[1]), chunk.dtype)]
+            if corpus.stream_supported(metric, handle):
+                # fast path: queries upload in fixed-size segments (shape
+                # depends only on the window, so one compiled executable
+                # serves any stream length); each window is a single fused
+                # dispatch slicing its segment on device
+                seg_len = window * max(1, 128 // window)
+                for seg in range(0, n_pad, seg_len):
+                    seg_q = q[seg : seg + seg_len]
+                    if seg_q.shape[0] < seg_len:
+                        seg_q = np.concatenate(
+                            [seg_q, np.zeros((seg_len - seg_q.shape[0], q.shape[1]), q.dtype)]
+                        )
+                    qdev = corpus.stream_stage_queries(seg_q)
+                    for s in range(0, min(seg_len, n_pad - seg), window):
+                        win_resolver = corpus.stream_submit(
+                            qdev, s, window, k, metric, handle=handle
+                        )
+                        in_flight.append(partial(win_resolver, seg_q[s : s + window]))
+                        if len(in_flight) > 2:
+                            drain_one()
+            else:
+                for s in range(0, n_pad, window):
+                    in_flight.append(
+                        corpus.search_submit(q[s : s + window], k, metric, filter_mask=handle)
                     )
-                resolver = corpus.search_submit(chunk, k, metric, filter_mask=handle)
-                in_flight.append((resolver, live_rows))
-                if len(in_flight) > 2:
-                    drain_one()
+                    if len(in_flight) > 2:
+                        drain_one()
             while in_flight:
                 drain_one()
             return results

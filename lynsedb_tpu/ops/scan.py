@@ -241,6 +241,28 @@ def bf16_pass_packed(
     return _pack_ids(d, i)
 
 
+@partial(jax.jit, static_argnames=("metric", "k", "ascending", "window"))
+def bf16_pass_packed_window(
+    qblock: jnp.ndarray,
+    start: jnp.ndarray,
+    x16: jnp.ndarray,
+    x_sq: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    ascending: bool,
+    window: int,
+) -> jnp.ndarray:
+    """Streaming variant: the query stream is uploaded once as ``qblock``
+    and each window slices it on device — one H2D per stream instead of one
+    per window."""
+    q = jax.lax.dynamic_slice(qblock, (start, 0), (window, qblock.shape[1]))
+    scores = _bf16_scores(q, x16, x_sq, metric)
+    d, i = masked_top_k(scores, k, ascending, valid)
+    return _pack_ids(d, i)
+
+
 @partial(jax.jit, static_argnames=("metric", "k", "ascending"))
 def bf16_gather_pass_packed(
     q: jnp.ndarray,
@@ -765,6 +787,37 @@ class DeviceCorpus:
             proxy, ids = unpack_search_step(np.asarray(packed))
             keep = _keep_mask(proxy, ascending)
             return self._rescore_topk(q, ids, keep, metric, k)
+
+        return resolve
+
+    def stream_supported(self, metric: Metric, handle) -> bool:
+        """True when the prestaged-block streaming fast path applies."""
+        return (
+            metric in TWO_PASS_METRICS
+            and self.n >= TWO_PASS_MIN_ROWS
+            and (handle is None or (handle.count > 0 and not handle.use_gather(self.n)))
+        )
+
+    def stream_stage_queries(self, q: np.ndarray):
+        """One H2D for a whole query stream (pad handled by caller)."""
+        return _put(np.ascontiguousarray(q, dtype=np.float32), self._repl_sharding())
+
+    def stream_submit(self, qblock_dev, start: int, window: int, k: int,
+                      metric: Metric, handle=None, oversample: int = 4):
+        """Two-pass window over a prestaged query block: device-side slice,
+        fused bf16 first pass, resolver does the exact host rescore."""
+        self._ensure_staged()
+        c = self._shortlist_size(k, self.n, oversample)
+        valid = self.valid_mask(handle)
+        packed = bf16_pass_packed_window(
+            qblock_dev, jnp.int32(start), self._dev16, self.bf16_norms(), valid,
+            metric=metric, k=c, ascending=metric.ascending, window=window,
+        )
+
+        def resolve(q_rows: np.ndarray):
+            proxy, ids = unpack_search_step(np.asarray(packed))
+            keep = _keep_mask(proxy, metric.ascending)
+            return self._rescore_topk(q_rows, ids, keep, metric, k)
 
         return resolve
 

@@ -15,7 +15,14 @@ from typing import Optional
 
 from ..storage.vector_store import write_atomic
 from .collection import Collection
-from .errors import CollectionNotFound, DatabaseNotFound, InvalidArgument, ReadOnly, validate_resource_name
+from .errors import (
+    CollectionNotFound,
+    DatabaseNotFound,
+    DimensionMismatch,
+    InvalidArgument,
+    ReadOnly,
+    validate_resource_name,
+)
 
 MAX_DATABASES = 64
 FINGERPRINT = ".fingerprint"
@@ -89,7 +96,7 @@ class DatabaseEngine:
                 )
                 self._collections[name] = coll
             elif dim is not None and coll.dim is not None and coll.dim != dim:
-                raise InvalidArgument(f"collection {name} has dim {coll.dim}, requested {dim}")
+                raise DimensionMismatch(f"collection {name} has dim {coll.dim}, requested {dim}")
             return coll
 
     def get_collection(self, name: str, dim: Optional[int] = None) -> Collection:

@@ -130,7 +130,7 @@ class ResultView:
                 distances=self._distances[item] if self._distances is not None else None,
                 vectors=self._vectors[item] if self._vectors is not None else None,
                 fields=self._fields[item] if self._fields else None,
-                k=self._k,
+                k=len(self._ids[item]) if self._ids is not None else self._k,
                 distance=self._distance,
                 index=self._index,
                 result_type=self._result_type,

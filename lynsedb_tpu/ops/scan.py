@@ -62,6 +62,27 @@ TWO_PASS_MIN_ROWS = 4096
 # this selective is gathered into a compact block instead of masked-scanned.
 GATHER_MAX_ROWS = 100_000
 
+# Host mirrors larger than this spill to disk-backed memmaps (the OS pages
+# them), lifting the host-RAM bound on corpus size the same way the
+# reference's mmap storage does (flat_mmap.rs:89).
+import os as _os
+
+MIRROR_RAM_BYTES = int(_os.environ.get("LYNSE_TPU_MIRROR_RAM_BYTES", 16 * 1024**3))
+
+
+def _alloc_rows(n_rows: int, dim: int, np_dtype) -> np.ndarray:
+    """RAM array below MIRROR_RAM_BYTES, anonymous-temp-file memmap above."""
+    nbytes = n_rows * dim * np.dtype(np_dtype).itemsize
+    if nbytes <= MIRROR_RAM_BYTES:
+        return np.zeros((n_rows, dim), dtype=np_dtype)
+    import tempfile
+
+    f = tempfile.TemporaryFile(prefix="lynse_mirror_")
+    f.truncate(nbytes)
+    mm = np.memmap(f, dtype=np_dtype, mode="r+", shape=(n_rows, dim))
+    mm._lynse_backing = f  # keep the fd alive with the array
+    return mm
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -542,8 +563,10 @@ class DeviceCorpus:
         else:
             self._dev16 = None  # free before reallocating
             self._dev32 = None
-            full16 = np.zeros((cap, self.dim), dtype=ml_dtypes.bfloat16)
-            full16[: self.n] = self._host[: self.n].astype(ml_dtypes.bfloat16)
+            full16 = _alloc_rows(cap, self.dim, ml_dtypes.bfloat16)
+            for lo in range(0, self.n, 16 * ROW_BLOCK):
+                hi = min(lo + 16 * ROW_BLOCK, self.n)
+                full16[lo:hi] = self._host[lo:hi].astype(ml_dtypes.bfloat16)
             self._dev16 = _put(full16, self._rows_sharding())
             self.capacity = cap
         self._stage_tombs()
@@ -575,8 +598,10 @@ class DeviceCorpus:
             new_len = max(ROW_BLOCK, len(self._host))
             while new_len < self.n + m:
                 new_len *= 2
-            host = np.zeros((new_len, self.dim), dtype=np.float32)
-            host[: self.n] = self._host[: self.n]
+            host = _alloc_rows(new_len, self.dim, np.float32)
+            for lo in range(0, self.n, 4 * ROW_BLOCK):
+                hi = min(lo + 4 * ROW_BLOCK, self.n)
+                host[lo:hi] = self._host[lo:hi]
             self._host = host
         self._host[self.n : self.n + m] = rows
         self._dirty_lo = min(self._dirty_lo, self.n)

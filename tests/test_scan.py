@@ -166,3 +166,22 @@ def test_scan_chunk_size():
     assert scan_chunk_size(Metric.IP, 1 << 20, batch=1) == 1 << 20
     assert scan_chunk_size(Metric.IP, 1 << 20, batch=1024) == 131072
     assert scan_chunk_size(Metric.L1, 1 << 20) == 8192
+
+
+def test_host_mirror_spills_to_memmap(rng, monkeypatch):
+    """Mirrors beyond LYNSE_TPU_MIRROR_RAM_BYTES page from disk (the >RAM
+    corpus story, analogous to the reference's mmap storage)."""
+    from lynsedb_tpu.ops import scan as scan_mod
+
+    monkeypatch.setattr(scan_mod, "MIRROR_RAM_BYTES", 64 * 1024)  # tiny cap
+    dc = scan_mod.DeviceCorpus(16)
+    x = rng.normal(size=(9000, 16)).astype(np.float32)
+    dc.append(x[:5000])
+    dc.append(x[5000:])  # growth copies chunked through the memmap
+    assert isinstance(dc._host, np.memmap)
+    dc.finalize()
+    q = x[7:8]
+    d, i = dc.search(q, 5, Metric.IP)
+    want = np.argsort(-(x @ q[0]))[:5]
+    assert i[0].tolist() == want.tolist()
+    np.testing.assert_allclose(d[0], np.sort(x @ q[0])[::-1][:5], rtol=1e-6)

@@ -248,6 +248,56 @@ class ClusterCoordinator:
                 self.state.mark_replica_stale(uri)
         return result or {}
 
+    def _write_group_vectors(self, group: dict, op: str, endpoint: str,
+                             meta: dict, vecs: np.ndarray, ids: list,
+                             fields, wire_dtype: str = "float32") -> dict:
+        """Vector write to one shard group over the binary plane: pooled RPC
+        (reference rpc.rs BULK_ADD_BINARY_IDS/UPSERT_BINARY_IDS) with binary
+        HTTP fallback, mirrored to active replicas (cluster.py:2150 binary
+        write mirroring)."""
+        dt = np.float16 if wire_dtype == "float16" else np.float32
+        payload = np.ascontiguousarray(vecs, dtype=dt).tobytes()
+        int_safe = all(isinstance(i, int) and not isinstance(i, bool) for i in ids)
+        base = {
+            **meta,
+            "dim": int(vecs.shape[1]),
+            "wire_dtype": wire_dtype,
+            "ids": np.asarray(ids, dtype=np.int64).tobytes() if int_safe else ids,
+        }
+        if fields is not None:
+            base["fields"] = fields
+        result, first = None, True
+        for uri, is_primary in self.state.writable_uris_for_group(group):
+            try:
+                out = self._write_one_binary(uri, op, endpoint, base, payload)
+                if first:
+                    result = out
+                    first = False
+            except Exception:
+                if is_primary:
+                    raise
+                self.state.mark_replica_stale(uri)
+        return result or {}
+
+    def _write_one_binary(self, uri: str, op: str, endpoint: str,
+                          meta: dict, payload: bytes) -> dict:
+        if not self._rpc_down.get(uri):
+            try:
+                from urllib.parse import urlparse
+
+                from ..server.rpc import derive_rpc_port
+
+                parsed = urlparse(uri)
+                out_meta, _ = self._rpc().call(
+                    parsed.hostname, derive_rpc_port(parsed.port or 80),
+                    {**meta, "op": op}, payload,
+                )
+                return out_meta
+            except Exception as e:  # noqa: BLE001
+                logger.debug("rpc write to %s failed (%s); using binary HTTP", uri, e)
+                self._rpc_down[uri] = True
+        return self.shard_post_binary(uri, endpoint, {**meta, "vectors": payload})
+
     def fanout_read(self, endpoint: str, payload: dict) -> list[dict]:
         futures = {
             self._executor.submit(
@@ -338,20 +388,19 @@ class ClusterCoordinator:
             slot = per_group.setdefault(group["name"], {"group": group, "rows": []})
             slot["rows"].append(idx)
 
+        vec_arr = (np.frombuffer(vectors, dtype=np.float16 if body.get("wire_dtype") == "float16" else np.float32)
+                   .reshape(n, -1).astype(np.float32)
+                   if isinstance(vectors, (bytes, bytearray))
+                   else np.asarray(vectors, dtype=np.float32))
         futures = []
         for slot in per_group.values():
             rows = slot["rows"]
-            payload = {
-                "database_name": db,
-                "collection_name": coll,
-                "ids": [ids[i] for i in rows],
-                "vectors": [vectors[i] for i in rows],
-            }
-            if fields is not None:
-                payload["fields"] = [fields[i] for i in rows]
-            futures.append(
-                self._executor.submit(self._write_group, slot["group"], "/add", payload)
-            )
+            futures.append(self._executor.submit(
+                self._write_group_vectors, slot["group"], "BULK_ADD_BINARY_IDS",
+                "/bulk_add_binary", {"database_name": db, "collection_name": coll},
+                vec_arr[rows], [ids[i] for i in rows],
+                [fields[i] for i in rows] if fields is not None else None,
+            ))
         for f in futures:
             f.result()
         return {"ids": ids}
@@ -366,20 +415,19 @@ class ClusterCoordinator:
             group = self.state.group_for_id(db, coll, item_id)
             slot = per_group.setdefault(group["name"], {"group": group, "rows": []})
             slot["rows"].append(idx)
+        vec_arr = (np.frombuffer(vectors, dtype=np.float16 if body.get("wire_dtype") == "float16" else np.float32)
+                   .reshape(len(ids), -1).astype(np.float32)
+                   if isinstance(vectors, (bytes, bytearray))
+                   else np.asarray(vectors, dtype=np.float32))
         futures = []
         for slot in per_group.values():
             rows = slot["rows"]
-            payload = {
-                "database_name": db,
-                "collection_name": coll,
-                "ids": [ids[i] for i in rows],
-                "vectors": [vectors[i] for i in rows],
-            }
-            if fields is not None:
-                payload["fields"] = [fields[i] for i in rows]
-            futures.append(
-                self._executor.submit(self._write_group, slot["group"], "/upsert", payload)
-            )
+            futures.append(self._executor.submit(
+                self._write_group_vectors, slot["group"], "UPSERT_BINARY_IDS",
+                "/upsert_records_binary", {"database_name": db, "collection_name": coll},
+                vec_arr[rows], [ids[i] for i in rows],
+                [fields[i] for i in rows] if fields is not None else None,
+            ))
         for f in futures:
             f.result()
         return {"ids": ids}

@@ -70,6 +70,7 @@ class RpcServer:
         self.api_key = api_key
         self.port: Optional[int] = None
         self._server: Optional[asyncio.AbstractServer] = None
+        self._writers: set = set()
         # node-local metadata KV for METADATA_GET/CAS (shard-owned metadata
         # store; reference: ShardMetadataStore over RPC, cluster.py:641)
         self._meta_lock = threading.Lock()
@@ -85,11 +86,16 @@ class RpcServer:
     async def stop(self) -> None:
         if self._server is not None:
             self._server.close()
+            # pooled clients hold connections open; drop them so
+            # wait_closed() (which waits for all handlers) can finish
+            for w in list(self._writers):
+                w.close()
             await self._server.wait_closed()
 
     # ── connection loop ──────────────────────────────────────────────────
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self._writers.add(writer)
         try:
             while True:
                 try:
@@ -107,6 +113,7 @@ class RpcServer:
                 writer.write(_pack_frame(out_meta, out_payload))
                 await writer.drain()
         finally:
+            self._writers.discard(writer)
             writer.close()
 
     # ── dispatch ─────────────────────────────────────────────────────────

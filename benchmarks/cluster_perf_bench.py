@@ -7,6 +7,11 @@ search latency over the RPC plane vs direct single-shard latency.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import tempfile

@@ -7,6 +7,11 @@ and recall across corpus sizes, plus in-place update throughput.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import tempfile

@@ -11,6 +11,11 @@ Prints one line per mode with PASS/FAIL and exits nonzero on any failure.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import sys

@@ -6,6 +6,11 @@ overwrite throughput, delete/restore latency, and post-churn search latency.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 import json
 import tempfile

@@ -356,15 +356,18 @@ class Collection:
         if iid < boundary:
             self.store.overwrite_rows(np.array([iid]), row[None, :])
         else:
-            off = iid - boundary
-            for chunk in self._pending:
-                if off < len(chunk):
-                    chunk[off] = row
-                    return
-                off -= len(chunk)
-            # row beyond any pending chunk: ignore (stale WAL entry)
+            self._write_pending_row(iid, row, boundary)
         if self._corpus is not None and iid < self._device_rows:
             self._corpus.overwrite(np.array([iid]), row[None, :])
+
+    def _write_pending_row(self, iid: int, row: np.ndarray, boundary: int) -> None:
+        off = iid - boundary
+        for chunk in self._pending:
+            if off < len(chunk):
+                chunk[off] = row
+                return
+            off -= len(chunk)
+        # row beyond any pending chunk: ignore (stale WAL entry)
 
     def upsert_items(self, vectors, external_ids, fields=None) -> list:
         """Overwrite-or-insert by external ID (reference: engine.rs:5949)."""
@@ -392,8 +395,20 @@ class Collection:
             if up_iids:
                 up_arr = np.stack(up_rows)
                 self.wal.log_upsert(up_iids, up_arr, up_fields)
-                for iid, row, f in zip(up_iids, up_rows, up_fields):
-                    self._write_row(iid, row)
+                # batch positional overwrites: one store call for rows below
+                # the durable boundary, one device overwrite for staged rows
+                boundary = self.store.row_count
+                iid_arr = np.asarray(up_iids, dtype=np.int64)
+                below = iid_arr < boundary
+                if below.any():
+                    self.store.overwrite_rows(iid_arr[below], up_arr[below])
+                for pos in np.nonzero(~below)[0]:
+                    self._write_pending_row(int(iid_arr[pos]), up_arr[pos], boundary)
+                if self._corpus is not None and self._device_rows:
+                    on_dev = iid_arr < self._device_rows
+                    if on_dev.any():
+                        self._corpus.overwrite(iid_arr[on_dev], up_arr[on_dev])
+                for iid, f in zip(up_iids, up_fields):
                     if f is not None:
                         self.fields.store_at(iid, f)
                         self._text_upsert([iid], [f])

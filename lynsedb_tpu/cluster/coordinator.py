@@ -718,10 +718,8 @@ def build_coordinator_app(coordinator: ClusterCoordinator, lease: Optional[Coord
                 )
 
             resp = await loop.run_in_executor(None, proxy)
-            return web.Response(
-                body=resp.content, status=resp.status_code,
-                content_type=resp.headers.get("Content-Type", "application/json"),
-            )
+            ctype = resp.headers.get("Content-Type", "application/json").split(";")[0].strip()
+            return web.Response(body=resp.content, status=resp.status_code, content_type=ctype)
         if path in ("/search_binary", "/batch_search_binary"):
             raw = await request.read()
             body = msgpack.unpackb(raw, raw=False, strict_map_key=False)

@@ -358,3 +358,65 @@ def test_coordinator_rides_rpc_plane(cluster, rng):
     assert items["ids"] == want
     # no shard was demoted to the HTTP fallback
     assert not coord.coordinator._rpc_down, coord.coordinator._rpc_down
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_standby_proxies_binary_to_leader(tmp_path_factory, rng):
+    """A standby coordinator proxies requests (including binary content) to
+    the lease leader (reference: standby proxying, cluster.py:3367)."""
+    import msgpack
+
+    from lynsedb_tpu.cluster.coordinator import BackgroundCoordinator
+
+    roots = tmp_path_factory.mktemp("standby")
+    shard = BackgroundServer(str(roots / "s0"), port=0)
+    config = {
+        "bucket_count": 16,
+        "metadata": {"kind": "local", "path": str(roots / "meta.json")},
+        "shard_groups": [{"name": "g0", "primary": shard.url, "replicas": []}],
+    }
+    p1, p2 = _free_port(), _free_port()
+    c1 = BackgroundCoordinator(config, port=p1, coordinator_id="c1",
+                               health_loop=False, lease=True)
+    c2 = BackgroundCoordinator(config, port=p2, coordinator_id="c2",
+                               health_loop=False, lease=True)
+    try:
+        assert c1.lease.tick(c1.url)       # c1 takes the lease
+        assert not c2.lease.tick(c2.url)   # c2 learns it is standby
+        assert c2.lease.leader_uri == c1.url
+
+        _post(c1.url, "/create_database", {"database_name": "sb"})
+        _post(c1.url, "/required_collection",
+              {"database_name": "sb", "collection_name": "c", "dim": 4})
+        vecs = rng.normal(size=(12, 4)).astype(np.float32)
+        # write THROUGH THE STANDBY: must land via the leader
+        out = _post(c2.url, "/add", {"database_name": "sb", "collection_name": "c",
+                                     "ids": list(range(12)), "vectors": vecs.tolist()})
+        assert out["ids"] == list(range(12))
+
+        # binary read through the standby
+        body = msgpack.packb({
+            "database_name": "sb", "collection_name": "c",
+            "vector": vecs[4].astype(np.float32).tobytes(), "dim": 4, "k": 3,
+        }, use_bin_type=True)
+        resp = requests.post(c2.url + "/search_binary", data=body,
+                             headers={"Content-Type": "application/x-lynse-binary"},
+                             timeout=30)
+        assert resp.status_code == 200, resp.text
+        got = msgpack.unpackb(resp.content, raw=False, strict_map_key=False)
+        ids = np.frombuffer(got["ids_binary"], dtype=np.int64).tolist()
+        want = np.argsort(-(vecs[4] @ vecs.T))[:3].tolist()
+        assert ids == want
+    finally:
+        c1.stop()
+        c2.stop()
+        shard.stop()

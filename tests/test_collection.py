@@ -370,3 +370,56 @@ def test_float16_storage_dtype_end_to_end(db, rng):
     # reopen from disk: rows come back f16-rounded
     row = c16._engine.row_vector(9)
     np.testing.assert_allclose(row, vecs[9].astype(np.float16).astype(np.float32), rtol=1e-3)
+
+
+def test_concurrent_searches_and_writes_are_safe(db, rng):
+    """Parallel searches interleaved with writes must never crash or return
+    rows that were deleted before the search began (reference safety model:
+    ownership + locks; here the engine RLock + epoch-invalidated caches)."""
+    import threading
+
+    coll = db.require_collection("conc", dim=16, drop_if_exists=True)
+    vecs = rng.normal(size=(2000, 16)).astype(np.float32)
+    coll.add(list(range(2000)), vectors=vecs)
+    coll.commit()
+
+    errors: list = []
+    stop = threading.Event()
+
+    def searcher():
+        i = 0
+        while not stop.is_set():
+            try:
+                res = coll.search(vecs[i % 2000], k=5)
+                assert len(res.ids) > 0
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            i += 1
+
+    def writer():
+        try:
+            for w in range(10):
+                base = 2000 + w * 50
+                coll.add(list(range(base, base + 50)),
+                         vectors=rng.normal(size=(50, 16)).astype(np.float32))
+                coll.delete([w * 3])
+                coll.commit()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    wt = threading.Thread(target=writer)
+    for t in threads:
+        t.start()
+    wt.start()
+    wt.join()
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors
+    # post-churn state is consistent
+    res = coll.search(vecs[1], k=10)
+    deleted = set(range(0, 30, 3))
+    assert not (deleted & set(int(x) for x in res.ids))
+    assert coll._engine.n_rows == 2500

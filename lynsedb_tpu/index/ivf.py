@@ -314,11 +314,37 @@ class IVFIndex:
     # ── lifecycle ────────────────────────────────────────────────────────
 
     def on_commit(self, coll) -> None:
-        """Rebuild when the unindexed tail grows past the threshold
-        (incremental adds stay exactly-scanned until then)."""
+        """Incremental insert: rows added since the last commit are assigned
+        to their nearest existing centroid(s) and appended to the postings
+        (reference: ivf.rs incremental insert / spann boundary replicas) —
+        the blocked device layout regenerates lazily. K-means retrains only
+        once accumulated growth passes half the trained corpus (centroid
+        drift), mirroring the graph indexes' rebuild-as-backstop policy."""
         n = coll.n_rows
-        if n > self.built_rows and (n - self.built_rows) > TAIL_REBUILD_FRACTION * max(n, 1):
+        if n <= self.built_rows:
+            return
+        base = getattr(self, "_rows_at_train", self.built_rows)
+        grown = getattr(self, "_inserted_since_train", 0) + (n - self.built_rows)
+        if grown > 0.5 * max(base, 1):
             self.rebuild(coll)
+            return
+        corpus = coll.corpus()
+        new_rows = corpus.host_rows(np.arange(self.built_rows, n))
+        if self.metric.is_binary:
+            new_rows = (new_rows > 0.5).astype(np.float32)
+        elif self.metric is Metric.COSINE:
+            norms = np.linalg.norm(new_rows, axis=1, keepdims=True)
+            new_rows = new_rows / np.maximum(norms, 1e-30)
+        r = self.replica_count if self.replica_count > 1 else 1
+        fresh = self._replica_postings(new_rows, self.centroids_np, r)
+        fresh[:, 1] += self.built_rows  # local row index -> global row id
+        merged = np.concatenate([self.postings, fresh.astype(self.postings.dtype)])
+        order = np.argsort(merged[:, 0], kind="stable")
+        self.postings = merged[order]
+        self.built_rows = n
+        self._inserted_since_train = grown
+        self._dev = None  # blocked layout regenerates on next search
+        self.save(coll)
 
     def rebuild(self, coll) -> None:
         from . import IndexBuildOptions
@@ -330,3 +356,5 @@ class IVFIndex:
         )
         fresh = IVFIndex.build(coll, self.mode, opts)
         self.__dict__.update(fresh.__dict__)
+        self._inserted_since_train = 0
+        self._rows_at_train = self.built_rows

@@ -153,3 +153,41 @@ def test_index_mode_validation(db, rng):
         coll.build_index("IVF-L2", bogus_param=3)
     with pytest.raises(Exception):
         coll.build_index("IVF-L2", n_clusters=0)
+
+
+def test_ivf_incremental_insert_no_rebuild(db, rng):
+    """Rows added after build join postings by nearest-centroid assignment
+    (reference: ivf.rs incremental insert) — no k-means retrain, new rows
+    served through the partition path with good recall."""
+    n0, d, k = 4000, 16, 10
+    base = rng.normal(size=(n0, d)).astype(np.float32)
+    coll = db.require_collection("ivf_inc", dim=d, drop_if_exists=True)
+    coll.add(list(range(n0)), vectors=base)
+    coll.commit()
+    coll.build_index("IVF-L2", n_clusters=32)
+    idx = coll._engine._index
+    rebuilds = {"n": 0}
+    orig = idx.rebuild
+    idx.rebuild = lambda c: (rebuilds.__setitem__("n", rebuilds["n"] + 1), orig(c))
+
+    fresh = rng.normal(size=(1200, d)).astype(np.float32)
+    coll.add(list(range(n0, n0 + 1200)), vectors=fresh)
+    coll.commit()
+    assert rebuilds["n"] == 0
+    assert idx.built_rows == n0 + 1200  # postings cover the new rows
+    assert idx.postings[:, 1].max() == n0 + 1199
+
+    allv = np.concatenate([base, fresh])
+    hits = 0
+    queries = rng.normal(size=(15, d)).astype(np.float32)
+    for q in queries:
+        want = set(np.argsort(((allv - q) ** 2).sum(1))[:k].tolist())
+        res = coll.search(q, k=k, nprobe=16)
+        hits += len(set(int(x) for x in res.ids) & want)
+    assert hits / (15 * k) >= 0.85
+
+    # growth past 50% of the trained corpus triggers the retrain backstop
+    more = rng.normal(size=(1500, d)).astype(np.float32)
+    coll.add(list(range(n0 + 1200, n0 + 2700)), vectors=more)
+    coll.commit()
+    assert rebuilds["n"] == 1

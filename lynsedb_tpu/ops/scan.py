@@ -21,8 +21,9 @@ merge, :1173/:4876). The TPU formulation:
     and invalidated by an epoch counter, so steady-state search is one
     dispatch with zero per-query host re-uploads.
 
-Capacity grows geometrically (O(log n) compile shapes); ``finalize()`` trims
-to the occupied prefix at commit boundaries.
+Device staging is lazy: writes touch a host mirror; the bf16 HBM array is
+(re)built on demand with bucketed capacities (~8 compile shapes per
+power-of-two octave) and eagerly at commit via ``finalize()``.
 """
 
 from __future__ import annotations
@@ -989,23 +990,6 @@ class DeviceCorpus:
         vd = jnp.asarray(valid)
         out = rescore_rows(q, rows * vd[..., None], vd, metric=metric)
         return np.asarray(out)
-
-    # legacy single-dispatch packed API (exact path), kept for callers that
-    # want to manage fetches themselves
-    def search_packed(self, queries, k: int, metric: Metric, filter_mask=None):
-        if self.n == 0:
-            return None
-        q = np.ascontiguousarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
-        handle = None
-        if filter_mask is not None:
-            handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
-        ct = self.transform(metric)
-        valid = self.valid_mask(handle)
-        chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
-        return flat_search_step(
-            jnp.asarray(q), ct, valid, metric=metric, k=min(k, self.n_pad),
-            chunk=chunk, ascending=metric.ascending,
-        )
 
 
 def _keep_mask(proxy: np.ndarray, ascending: bool) -> np.ndarray:

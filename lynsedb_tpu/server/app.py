@@ -596,6 +596,8 @@ class LynseServer:
             k,
             where=body.get("where"),
             nprobe=int(body.get("nprobe", 10)),
+            approx=bool(body.get("approx", False)),
+            eps=float(body.get("eps", 1e-4)),
         )
         out = []
         return_fields = body.get("return_fields", False)
@@ -881,6 +883,8 @@ class LynseServer:
         res = await self._run(
             coll.batch_search, vecs, k,
             where=body.get("where"), nprobe=int(body.get("nprobe", 10)),
+            approx=bool(body.get("approx", False)),
+            eps=float(body.get("eps", 1e-4)),
         )
         out = []
         for b in range(len(vecs)):

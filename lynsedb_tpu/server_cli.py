@@ -58,7 +58,9 @@ def _parse_args(argv=None) -> argparse.Namespace:
         cfg = json.loads(Path(args.config).read_text())
         for key, value in cfg.items():
             attr = key.replace("-", "_")
-            if hasattr(args, attr) and p.get_default(attr) == getattr(args, attr):
+            # config applies only where the flag is still at its default —
+            # defaults live on the `run` subparser, not the root parser
+            if hasattr(args, attr) and run.get_default(attr) == getattr(args, attr):
                 setattr(args, attr, value)
     return args
 

@@ -47,10 +47,10 @@ def main() -> None:
 
             d2 = ((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1) \
                 if n <= 100_000 else None
-            coll.search(queries[0], k=args.k)  # warm
+            coll.search(queries[0], k=args.k, nprobe=100)  # warm
             hits, t0 = 0, time.perf_counter()
             for i in range(args.queries):
-                res = coll.search(queries[i], k=args.k)
+                res = coll.search(queries[i], k=args.k, nprobe=100)  # beam width per the recall gates
                 if d2 is not None:
                     want = set(np.argsort(d2[i])[: args.k].tolist())
                     hits += len(set(int(x) for x in res.ids) & want)

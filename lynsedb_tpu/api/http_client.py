@@ -13,6 +13,7 @@ from typing import Any, Callable, Dict, List, Optional
 import numpy as np
 import requests
 
+from ..storage.dtype import cast_rows
 from ..result_view import ResultView, _parse_index_mode
 from .embedding import embed_documents
 from .records import normalize_external_ids, normalize_fields, validate_unique_external_ids
@@ -54,6 +55,14 @@ def _raise_on_error(resp):
         raise ExecutionError(msg)
     return resp
 
+
+
+def _wire_bytes(vec: np.ndarray, wire_dtype: str) -> bytes:
+    """Encode vectors for the binary wire: f16 rides the native bulk codec
+    (storage/dtype.cast_rows), halving payload bytes at ~2x numpy's astype
+    throughput."""
+    _wire_np_dtype(wire_dtype)  # validate
+    return cast_rows(np.asarray(vec, dtype=np.float32), wire_dtype).tobytes()
 
 
 def _wire_np_dtype(wire_dtype: str):
@@ -252,7 +261,7 @@ class Collection:
         batch_size: int = 1000,
         wire_dtype: str = "float32",
     ):
-        wire_np = _wire_np_dtype(wire_dtype)
+        _wire_np_dtype(wire_dtype)  # validate
         from .records import attach_documents, normalize_documents
 
         docs, _ = normalize_documents(documents) if documents is not None else (None, False)
@@ -283,7 +292,7 @@ class Collection:
             if int_ids or eids is None:
                 try:
                     payload = {
-                        "vectors": vec[i:j].astype(wire_np).tobytes(),
+                        "vectors": _wire_bytes(vec[i:j], wire_dtype),
                         "dim": int(vec.shape[1]),
                         "wire_dtype": wire_dtype,
                     }
@@ -307,7 +316,7 @@ class Collection:
 
     def upsert(self, ids, *, vectors=None, documents=None, embed_func=None, fields=None,
                wire_dtype: str = "float32"):
-        wire_np = _wire_np_dtype(wire_dtype)
+        _wire_np_dtype(wire_dtype)  # validate
         from .records import attach_documents, normalize_documents, normalize_vectors
 
         eids, single = normalize_external_ids(ids)
@@ -325,7 +334,7 @@ class Collection:
         if all(isinstance(e, int) for e in eids):
             try:
                 payload = {
-                    "vectors": vec.astype(wire_np).tobytes(),
+                    "vectors": _wire_bytes(vec, wire_dtype),
                     "dim": int(vec.shape[1]),
                     "wire_dtype": wire_dtype,
                     "ids": np.asarray(eids, dtype=np.int64).tobytes(),
@@ -509,7 +518,7 @@ class Collection:
         eps: float = 1e-4,
         wire_dtype: str = "float32",
     ) -> ResultView:
-        wire_np = _wire_np_dtype(wire_dtype)
+        _wire_np_dtype(wire_dtype)  # validate
         if (vector is None) == (document is None):
             raise ValueError("search() requires exactly one of vector or document")
         if document is not None:
@@ -525,7 +534,7 @@ class Collection:
             out = self._binary_post(
                 "/search_binary",
                 {
-                    "vector": vec.astype(wire_np).tobytes(),
+                    "vector": _wire_bytes(vec, wire_dtype),
                     "dim": int(vec.shape[0]),
                     "wire_dtype": wire_dtype,
                     "vector_field": vector_field,
@@ -579,13 +588,13 @@ class Collection:
     def batch_search(self, vectors, k: int = 10, *, where=None, return_fields: bool = False,
                      nprobe: int = 10, approx: bool = False, eps: float = 1e-4,
                      wire_dtype: str = "float32") -> List[ResultView]:
-        wire_np = _wire_np_dtype(wire_dtype)
+        _wire_np_dtype(wire_dtype)  # validate
         vec = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         try:
             raw = self._binary_post(
                 "/batch_search_binary",
                 {
-                    "vectors": vec.astype(wire_np).tobytes(),
+                    "vectors": _wire_bytes(vec, wire_dtype),
                     "dim": int(vec.shape[1]),
                     "wire_dtype": wire_dtype,
                     "k": k,

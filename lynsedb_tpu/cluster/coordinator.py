@@ -23,6 +23,7 @@ from typing import Any, Optional
 
 import msgpack
 import numpy as np
+from ..storage.dtype import cast_rows
 import requests
 
 from ..metrics import Metric
@@ -47,8 +48,7 @@ def binary_search_payload(body: dict, key: str = "vector") -> dict:
     """JSON search body -> binary wire payload: vectors become raw LE bytes
     (f32, or f16 when wire_dtype=float16 — half the shard-hop bytes)."""
     wire = body.get("wire_dtype", "float32")
-    dt = np.float16 if wire == "float16" else np.float32
-    vec = np.asarray(body[key], dtype=dt)
+    vec = cast_rows(np.asarray(body[key], dtype=np.float32), wire)
     out = {k: v for k, v in body.items() if k != key}
     out[key] = vec.tobytes()
     out["dim"] = int(vec.shape[-1])
@@ -255,8 +255,7 @@ class ClusterCoordinator:
         (reference rpc.rs BULK_ADD_BINARY_IDS/UPSERT_BINARY_IDS) with binary
         HTTP fallback, mirrored to active replicas (cluster.py:2150 binary
         write mirroring)."""
-        dt = np.float16 if wire_dtype == "float16" else np.float32
-        payload = np.ascontiguousarray(vecs, dtype=dt).tobytes()
+        payload = cast_rows(np.asarray(vecs, dtype=np.float32), wire_dtype).tobytes()
         int_safe = all(isinstance(i, int) and not isinstance(i, bool) for i in ids)
         base = {
             **meta,

@@ -21,6 +21,7 @@ from functools import partial
 from typing import Optional
 
 import numpy as np
+from ..storage.dtype import decode_f32
 from aiohttp import web
 
 from ..engine.database import DatabaseManager
@@ -825,8 +826,8 @@ class LynseServer:
 
     @staticmethod
     def _decode_wire_vectors(blob: bytes, dim: int, wire_dtype: str) -> np.ndarray:
-        dtype = np.float16 if wire_dtype == "float16" else np.float32
-        return np.frombuffer(blob, dtype=dtype).reshape(-1, dim).astype(np.float32)
+        # f16 payloads decode through the native bulk codec (storage/dtype.py)
+        return decode_f32(blob, wire_dtype).reshape(-1, dim)
 
     async def _binary_body(self, request) -> dict:
         import msgpack

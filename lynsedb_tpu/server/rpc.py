@@ -23,6 +23,7 @@ from typing import Optional
 
 import msgpack
 import numpy as np
+from ..storage.dtype import decode_f32
 
 logger = logging.getLogger("lynsedb_tpu.rpc")
 
@@ -57,8 +58,8 @@ async def _read_frame(reader: asyncio.StreamReader) -> tuple[dict, bytes]:
 
 
 def _decode_vectors(payload: bytes, dim: int, wire_dtype: str) -> np.ndarray:
-    dt = np.float16 if wire_dtype == "float16" else np.float32
-    return np.frombuffer(payload, dtype=dt).reshape(-1, dim).astype(np.float32)
+    # f16 payloads decode through the native bulk codec (storage/dtype.py)
+    return decode_f32(payload, wire_dtype).reshape(-1, dim)
 
 
 class RpcServer:

@@ -26,7 +26,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .dtype import byte_width, np_dtype, parse_dtype
+from .dtype import byte_width, cast_rows, np_dtype, parse_dtype, rows_to_f32
 
 TARGET_SEGMENT_BYTES = int(os.environ.get("LYNSE_SEGMENT_BYTES", 256 * 1024 * 1024))
 
@@ -107,7 +107,7 @@ class VectorStore:
 
     def append(self, rows: np.ndarray) -> None:
         """Append rows (not yet durable — call checkpoint() to publish)."""
-        rows = np.ascontiguousarray(rows, dtype=np_dtype(self.dtype))
+        rows = cast_rows(np.asarray(rows), self.dtype)
         if self.dim is None:
             self.set_dim(rows.shape[1])
         if rows.shape[1] != self.dim:
@@ -163,7 +163,7 @@ class VectorStore:
             )
             filled += take
             row += take
-        return out.astype(np.float32)
+        return rows_to_f32(out)
 
     def read_all(self) -> np.ndarray:
         if self.row_count == 0:
@@ -183,7 +183,7 @@ class VectorStore:
     # ── positional overwrite with journal (upsert crash safety) ─────────
 
     def overwrite_rows(self, row_ids: np.ndarray, rows: np.ndarray) -> None:
-        rows = np.ascontiguousarray(rows, dtype=np_dtype(self.dtype))
+        rows = cast_rows(np.asarray(rows), self.dtype)
         # Journal first (reference: vector_store.rs:900-939).
         with open(self.journal_path, "ab") as jf:
             for rid, row in zip(np.asarray(row_ids, dtype=np.int64), rows):

@@ -1,33 +1,14 @@
-"""Native C++ host-runtime library: build, correctness vs numpy fallbacks."""
-
-import zlib
+"""Native f16 codec: build, correctness vs numpy, and product wiring."""
 
 import numpy as np
-import pytest
 
 from lynsedb_tpu import native
+from lynsedb_tpu.storage.dtype import cast_rows, decode_f32, rows_to_f32
 
 
 def test_native_library_builds():
     lib = native.get_lib()
     assert lib is not None, "native library failed to build (toolchain present?)"
-
-
-def test_crc32_matches_zlib(rng):
-    data = rng.bytes(100_000)
-    assert native.crc32(data) == zlib.crc32(data)
-    assert native.crc32(b"") == zlib.crc32(b"")
-    assert native.crc32(data, 1234) == zlib.crc32(data, 1234)
-
-
-def test_pack_bits_matches_numpy(rng):
-    rows = rng.normal(size=(17, 130)).astype(np.float32)
-    got = native.pack_bits(rows)
-    bits = (rows > 0.5).astype(np.uint8)
-    padded = np.zeros((17, 192), dtype=np.uint8)
-    padded[:, :130] = bits
-    want = np.packbits(padded, axis=1, bitorder="little").view(np.uint64)
-    np.testing.assert_array_equal(got, want)
 
 
 def test_f16_roundtrip(rng):
@@ -41,10 +22,25 @@ def test_f16_roundtrip(rng):
     np.testing.assert_array_equal(native.f32_to_f16(special), special.astype(np.float16))
 
 
-def test_merge_topk(rng):
-    scores = np.array([0.5, 0.1, 0.9, 0.1, 0.3], dtype=np.float32)
-    ids = np.array([10, 11, 12, 10, -1], dtype=np.int64)
-    pos = native.merge_topk(scores, ids, 3, ascending=True)
-    assert ids[pos].tolist() == [11, 10, 12]  # dedup id 10, skip -1
-    pos = native.merge_topk(scores, ids, 2, ascending=False)
-    assert ids[pos].tolist() == [12, 10]
+def test_f16_matches_numpy_bulk(rng):
+    arr = rng.normal(size=(512, 128)).astype(np.float32) * 50
+    np.testing.assert_array_equal(native.f32_to_f16(arr), arr.astype(np.float16))
+    half = arr.astype(np.float16)
+    np.testing.assert_array_equal(native.f16_to_f32(half), half.astype(np.float32))
+
+
+def test_dtype_codecs_route_f16_through_native(rng):
+    """cast_rows/rows_to_f32/decode_f32 are the product entry points behind
+    the f16 wire protocol and f16 disk storage."""
+    rows = rng.normal(size=(64, 32)).astype(np.float32)
+    half = cast_rows(rows, "float16")
+    assert half.dtype == np.float16
+    np.testing.assert_array_equal(half, rows.astype(np.float16))
+    np.testing.assert_array_equal(rows_to_f32(half), half.astype(np.float32))
+    # f32 passthrough makes no copy of an already-f32 contiguous array
+    same = cast_rows(rows, "float32")
+    assert same.dtype == np.float32
+    flat = decode_f32(half.tobytes(), "float16")
+    np.testing.assert_array_equal(flat, half.reshape(-1).astype(np.float32))
+    flat32 = decode_f32(rows.tobytes(), "float32")
+    np.testing.assert_array_equal(flat32, rows.reshape(-1))

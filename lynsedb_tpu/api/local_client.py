@@ -673,7 +673,7 @@ class LocalCollection:
         k: int = 10,
         *,
         where: Optional[str] = None,
-        window: int = 8,
+        window: Optional[int] = None,
         return_fields: bool = False,
     ) -> List[ResultView]:
         """Pipelined per-query search stream (throughput-oriented serving)."""

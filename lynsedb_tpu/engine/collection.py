@@ -755,15 +755,27 @@ class Collection:
         k: int = 10,
         *,
         where: Optional[str] = None,
-        window: int = 8,
+        window: Optional[int] = None,
     ) -> list[SearchResult]:
         """Pipelined single-query stream over the flat scan path: queries are
         dynamically micro-batched into windows (the TPU-native serving shape
         — one H2D upload, one fused batched dispatch, one fetch per window),
         and up to two windows stay in flight so the host decode/rescore of
         one window overlaps the device scan of the next. Falls back to
-        sequential searches when an ANN/aux index is active."""
+        sequential searches when an ANN/aux index is active.
+
+        ``window=None`` auto-sizes: the per-dispatch-chain cost (host sync +
+        transport) dominates small windows while the fused scan's device
+        time barely moves with window size, so the stream targets <= 2
+        chains, capped at 64 and bucketed to powers of two to bound compile
+        shapes."""
         q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
+        if window is None:
+            window = 64
+            for w in (8, 16, 32):
+                if len(q) <= 2 * w:
+                    window = w
+                    break
         if self._index is not None or self._aux_index is not None or self.n_rows == 0:
             return [self.search(q[i], k, where=where) for i in range(len(q))]
         with self._lock:

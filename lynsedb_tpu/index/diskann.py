@@ -4,13 +4,22 @@ Reference behavior: src/index/diskann.rs — Vamana build (random init :798,
 robust-prune passes :830/:1025, parallel batched build :1084), beam search
 :602, in-place insert/delete repair (IP-DiskANN, :1337/:1496). The TPU build
 keeps the full graph on device as a dense (N, R) int32 adjacency and runs the
-batched beam kernel in :mod:`lynsedb_tpu.ops.graph`; quantized layered mode is
-subsumed by the device-resident corpus (HBM plays the role of the SSD tier).
+batched beam kernel in :mod:`lynsedb_tpu.ops.graph`.
+
+Layered mode (reference: diskann.rs:276 flush_layered + :602 search_graph_pq
++ uses_store_rescore -> vector_store.rs:611): past LAYERED_MIN_ROWS the beam
+is PQ-guided — HBM holds only the adjacency plus (N, M) uint8 PQ codes, the
+beam scores neighbors from a per-query ADC LUT, and the pool is exact-
+rescored from the host f32 mirror. Graph search therefore keeps working when
+the f32 corpus exceeds the device budget (HBM plays the role of the SSD
+tier for the graph; the host mirror plays the role of the on-disk exact
+rows).
 """
 
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -19,11 +28,13 @@ import numpy as np
 from ..metrics import Metric
 from ..ops.graph import (
     beam_search,
+    beam_search_pq,
     build_vamana,
     insert_points,
     reconnect_orphans,
     repair_deleted_edges,
 )
+from ..ops.quantize import PQ
 from ..storage.vector_store import write_atomic
 
 DEFAULT_R = 16
@@ -33,6 +44,11 @@ DEFAULT_ALPHA = 1.2
 # IP-DiskANN, diskann.rs:1337/:1496); a full rebuild is only the backstop
 # once accumulated churn passes this fraction of the built corpus.
 REBUILD_CHURN_FRACTION = 0.5
+# Past this row count search goes layered/PQ-guided (the reference flips to
+# the disk graph + PQ codes for the None/PQ quantizer, diskann.rs:276).
+LAYERED_MIN_ROWS = int(os.environ.get("LYNSE_TPU_DISKANN_LAYERED_MIN_ROWS", "200000"))
+PQ_FIT_SAMPLE = 131072
+_PQ_METRIC_KIND = {Metric.IP: "ip", Metric.L2: "l2", Metric.COSINE: "cos"}
 
 
 class DiskANNIndex:
@@ -50,6 +66,10 @@ class DiskANNIndex:
         self.alpha = alpha
         self._starts_np = starts if starts is not None else np.asarray([medoid], dtype=np.int32)
         self._graph_dev = None
+        # layered-mode artifacts (None when not layered)
+        self.pq: Optional[PQ] = None
+        self.pq_codes: Optional[np.ndarray] = None  # (built_rows, M) uint8
+        self._pq_dev = None  # (codes, codebooks, row_sq) device triplet
 
     # ── build ────────────────────────────────────────────────────────────
 
@@ -69,8 +89,32 @@ class DiskANNIndex:
         medoid = int(np.asarray(jnp.argmin(jnp.sum((rows - rows.mean(0)) ** 2, axis=1))))
         idx = cls(coll, mode, opts, graph, medoid, n, r, l, alpha)
         idx._starts_np = idx._compute_starts(data)
+        if n >= LAYERED_MIN_ROWS and mode.metric in _PQ_METRIC_KIND:
+            idx._fit_pq(data)
         idx.save(coll)
         return idx
+
+    def _fit_pq(self, data: np.ndarray) -> None:
+        """Train + encode the layered-mode PQ artifacts (diskann.rs:276
+        flush_layered writes graph.bin + pq.bin; here the codes stay
+        device-stageable numpy)."""
+        sample = data if len(data) <= PQ_FIT_SAMPLE else data[
+            np.random.default_rng(7).choice(len(data), PQ_FIT_SAMPLE, replace=False)
+        ]
+        self.pq = PQ.fit(np.asarray(sample, dtype=np.float32))
+        self.pq_codes = self.pq.encode(np.asarray(data, dtype=np.float32))
+        self._pq_dev = None
+
+    @property
+    def layered(self) -> bool:
+        return self.pq_codes is not None
+
+    def _pq_row_sq(self, codes: np.ndarray) -> np.ndarray:
+        """Reconstructed squared norms: separable across subspaces."""
+        books_sq = (self.pq.codebooks ** 2).sum(axis=2)  # (M, 256)
+        return np.take_along_axis(
+            books_sq.T, codes.astype(np.int64), axis=0
+        ).sum(axis=1).astype(np.float32)
 
     def _compute_starts_live(self, data: np.ndarray, live_rows: np.ndarray) -> np.ndarray:
         """Entry points restricted to live rows (post-delete refresh)."""
@@ -95,7 +139,11 @@ class DiskANNIndex:
     def save(self, coll) -> None:
         idx_dir = coll.root / "index"
         idx_dir.mkdir(parents=True, exist_ok=True)
-        np.savez(idx_dir / "graph.npz", graph=self.graph_np, starts=self._starts_np)
+        arrays = {"graph": self.graph_np, "starts": self._starts_np}
+        if self.layered:
+            arrays["pq_codes"] = self.pq_codes
+            arrays["pq_codebooks"] = self.pq.codebooks
+        np.savez(idx_dir / "graph.npz", **arrays)
         write_atomic(
             idx_dir / "graph_meta.json",
             json.dumps(
@@ -118,8 +166,12 @@ class DiskANNIndex:
         meta = json.loads((idx_dir / "graph_meta.json").read_text())
         data = np.load(idx_dir / "graph.npz")
         starts = data["starts"] if "starts" in data.files else None
-        return cls(coll, mode, opts, data["graph"], meta["medoid"], meta["built_rows"],
-                   meta["r"], meta["l"], meta["alpha"], starts=starts)
+        idx = cls(coll, mode, opts, data["graph"], meta["medoid"], meta["built_rows"],
+                  meta["r"], meta["l"], meta["alpha"], starts=starts)
+        if "pq_codes" in data.files:
+            idx.pq = PQ(data["pq_codebooks"])
+            idx.pq_codes = data["pq_codes"]
+        return idx
 
     # ── search ───────────────────────────────────────────────────────────
 
@@ -128,26 +180,49 @@ class DiskANNIndex:
             self._graph_dev = jnp.asarray(self.graph_np)
         return self._graph_dev
 
+    def _pq_device(self):
+        if self._pq_dev is None:
+            codes = self.pq_codes
+            self._pq_dev = (
+                jnp.asarray(codes),
+                jnp.asarray(self.pq.codebooks),
+                jnp.asarray(self._pq_row_sq(codes)),
+            )
+        return self._pq_dev
+
     def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
         metric = self.metric
         corpus = coll.corpus()
         beam = max(int(nprobe or 0), self.l, k)
         live = corpus.valid_mask(mask)[: self.built_rows]
         qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
-        keys, ids = beam_search(
-            qj,
-            corpus._data[: self.built_rows].astype(jnp.float32),
-            self._graph(),
-            jnp.asarray(self._starts_np.astype(np.int32)),
-            live,
-            metric=metric,
-            beam=beam,
-            max_steps=beam * 2,
-            k=k,
-        )
-        keys = np.asarray(keys)
-        ids = np.asarray(ids, dtype=np.int64)
-        dists = -keys if metric.ascending else keys
+        if self.layered and metric in _PQ_METRIC_KIND:
+            # PQ-guided beam + exact host-mirror rescore: no f32 corpus on
+            # device (diskann.rs:602 + uses_store_rescore semantics)
+            codes_d, books_d, row_sq_d = self._pq_device()
+            _, pool = beam_search_pq(
+                qj, codes_d, books_d, row_sq_d, self._graph(),
+                jnp.asarray(self._starts_np.astype(np.int32)), live,
+                metric_kind=_PQ_METRIC_KIND[metric], beam=beam,
+                max_steps=beam * 2,
+            )
+            ids = np.asarray(pool, dtype=np.int64)
+            dists = corpus.rescore(np.atleast_2d(q.astype(np.float32)), ids, metric)
+        else:
+            keys, ids = beam_search(
+                qj,
+                corpus._data[: self.built_rows].astype(jnp.float32),
+                self._graph(),
+                jnp.asarray(self._starts_np.astype(np.int32)),
+                live,
+                metric=metric,
+                beam=beam,
+                max_steps=beam * 2,
+                k=k,
+            )
+            keys = np.asarray(keys)
+            ids = np.asarray(ids, dtype=np.int64)
+            dists = -keys if metric.ascending else keys
 
         # exact tail for rows added after build
         if self.built_rows < coll.n_rows:
@@ -225,6 +300,14 @@ class DiskANNIndex:
                 self.graph_np, new_ids, rows_dev, starts, live,
                 metric=self.metric, r=self.r, l_build=self.l, alpha=self.alpha,
             )
+            if self.layered:
+                # keep the PQ code tier in lockstep (codebooks stay fixed;
+                # a rebuild refits them once churn crosses the threshold)
+                tail = corpus.host_rows(np.arange(self.built_rows, n))
+                self.pq_codes = np.concatenate(
+                    [self.pq_codes, self.pq.encode(np.asarray(tail, dtype=np.float32))]
+                )
+                self._pq_dev = None
             self.built_rows = n
             changed = True
 

@@ -121,6 +121,110 @@ def beam_search(
     return top_keys, top_ids
 
 
+@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps"))
+def beam_search_pq(
+    q: jnp.ndarray,  # (B, D) f32
+    codes: jnp.ndarray,  # (N, M) uint8/int32 PQ codes (device-resident)
+    codebooks: jnp.ndarray,  # (M, 256, Ds) f32
+    row_sq: jnp.ndarray,  # (N,) reconstructed squared norms (l2/cos terms)
+    graph: jnp.ndarray,  # (N, R) int32, -1 padded
+    starts: jnp.ndarray,  # (S,) int32 entry points (shared)
+    valid: jnp.ndarray,  # (N,) bool
+    *,
+    metric_kind: str,  # "ip" | "l2" | "cos"
+    beam: int,
+    max_steps: int,
+):
+    """PQ-guided batched beam search (the layered DiskANN search plane,
+    reference: diskann.rs:602 search_graph_pq + :276 flush_layered).
+
+    The beam never touches f32 corpus rows: per query a (M, 256) ADC LUT is
+    built with one einsum, and each expansion scores the (B, R) neighbor
+    block by gathering codes + LUT-summing. The engine exact-rescores the
+    returned pool from the host mirror afterwards (uses_store_rescore
+    semantics, vector_store.rs:611), so HBM holds only codes + adjacency —
+    the corpus can exceed the device budget and graph search still runs.
+
+    Returns (keys (B, beam), ids (B, beam)) — the FULL pool, best-first in
+    approximate key space; ids == -1 where the pool ran dry.
+    """
+    b, d = q.shape
+    n, r = graph.shape
+    m, kcent, ds = codebooks.shape
+    q_sub = q.reshape(b, m, ds)
+    lut = jnp.einsum("bms,mks->bmk", q_sub, codebooks,
+                     preferred_element_type=jnp.float32)  # (B, M, 256)
+
+    def keyed_ids(node_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, C) node ids -> (B, C) oriented keys (bigger = better).
+        Per-query-constant terms are dropped: they cannot change the
+        beam's ordering and the exact rescore replaces the values."""
+        cd = codes[node_ids].astype(jnp.int32)  # (B, C, M)
+
+        def one(lut_q, cd_q):
+            return jnp.take_along_axis(lut_q.T, cd_q, axis=0).sum(-1)
+
+        ip = jax.vmap(one)(lut, cd)  # (B, C)
+        if metric_kind == "ip":
+            return ip
+        rs = row_sq[node_ids]
+        if metric_kind == "l2":
+            return 2.0 * ip - rs  # key(-l2) + const
+        return ip * jax.lax.rsqrt(jnp.maximum(rs, 1e-30))  # cos + const scale
+
+    s = starts.shape[0]
+    starts_b = jnp.broadcast_to(starts[None, :], (b, s))
+    keys0 = keyed_ids(starts_b)
+    keys0 = jnp.where(valid[starts][None, :], keys0, NEG_INF)
+
+    pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
+    pool_keys = jnp.full((b, beam), NEG_INF)
+    pool_exp = jnp.zeros((b, beam), dtype=bool)
+    top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
+    pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
+    pool_ids = pool_ids.at[:, : top0.shape[1]].set(starts[idx0].astype(jnp.int32))
+
+    visited = jnp.zeros((b, n), dtype=bool)
+    visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
+
+    def step(state):
+        pool_ids, pool_keys, pool_exp, visited, steps = state
+        cand_key = jnp.where(pool_exp | (pool_ids < 0), NEG_INF, pool_keys)
+        best = jnp.argmax(cand_key, axis=1)
+        best_id = pool_ids[jnp.arange(b), best]
+        has_work = cand_key[jnp.arange(b), best] > NEG_INF
+        pool_exp = pool_exp.at[jnp.arange(b), best].set(True)
+
+        nbrs = graph[jnp.maximum(best_id, 0)]  # (B, R)
+        nbr_ok = (nbrs >= 0) & has_work[:, None]
+        safe_nbrs = jnp.maximum(nbrs, 0)
+        seen = visited[jnp.arange(b)[:, None], safe_nbrs]
+        fresh = nbr_ok & ~seen
+        visited = visited.at[jnp.arange(b)[:, None], safe_nbrs].set(
+            visited[jnp.arange(b)[:, None], safe_nbrs] | fresh
+        )
+        keys = keyed_ids(safe_nbrs)
+        keys = jnp.where(fresh & valid[safe_nbrs], keys, NEG_INF)
+
+        all_keys = jnp.concatenate([pool_keys, keys], axis=1)
+        all_ids = jnp.concatenate([pool_ids, jnp.where(fresh, nbrs, -1)], axis=1)
+        all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
+        top_keys, pos = jax.lax.top_k(all_keys, beam)
+        gather = lambda a: jnp.take_along_axis(a, pos, axis=1)  # noqa: E731
+        return gather(all_ids), top_keys, gather(all_exp), visited, steps + 1
+
+    def cond(state):
+        pool_ids, pool_keys, pool_exp, visited, steps = state
+        unexpanded = (~pool_exp) & (pool_ids >= 0) & (pool_keys > NEG_INF)
+        return (steps < max_steps) & jnp.any(unexpanded)
+
+    pool_ids, pool_keys, pool_exp, visited, _ = jax.lax.while_loop(
+        cond, step, (pool_ids, pool_keys, pool_exp, visited, jnp.int32(0))
+    )
+    pool_ids = jnp.where(pool_keys > NEG_INF, pool_ids, -1)
+    return pool_keys, pool_ids
+
+
 @partial(jax.jit, static_argnames=("metric",))
 def candidate_pair_keys(rows: jnp.ndarray, metric: Metric) -> jnp.ndarray:
     """(BS, L, L) similarity keys among each point's candidates (used by the

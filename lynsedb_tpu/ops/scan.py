@@ -38,7 +38,7 @@ import numpy as np
 
 from ..metrics import MATMUL_METRICS, Metric
 from . import distance as D
-from .topk import masked_top_k, merge_top_k
+from .topk import masked_top_c, masked_top_k, merge_top_k
 
 # Pad granularity for the corpus row dimension. Keeping it a multiple of the
 # MXU/VPU lane width keeps every chunk fully tiled.
@@ -69,6 +69,16 @@ GATHER_MAX_ROWS = 100_000
 import os as _os
 
 MIRROR_RAM_BYTES = int(_os.environ.get("LYNSE_TPU_MIRROR_RAM_BYTES", 16 * 1024**3))
+
+# Single-chip HBM budget for the resident bf16 scan array. Corpora whose
+# bf16 footprint exceeds it switch to the blockwise *streaming* scan: the
+# bf16 copy stays in a host mirror (memmap-spilled like the f32 mirror) and
+# search double-buffers fixed-shape blocks through the device, carrying a
+# running top-C state across block dispatches so the whole pass costs ONE
+# host sync (reference capability: mmap segments scanned beyond RAM,
+# flat_mmap.rs:89).
+HBM_BYTES = int(_os.environ.get("LYNSE_TPU_HBM_BYTES", 12 * 1024**3))
+STREAM_BLOCK_BYTES = int(_os.environ.get("LYNSE_TPU_STREAM_BLOCK_BYTES", 1 << 30))
 
 
 def _alloc_rows(n_rows: int, dim: int, np_dtype) -> np.ndarray:
@@ -257,9 +267,10 @@ def bf16_pass_packed(
     k: int,
     ascending: bool,
 ) -> jnp.ndarray:
-    """Single-dispatch bf16 first pass over the full corpus: packed (B, 3k)."""
+    """Single-dispatch bf16 first pass over the full corpus: packed (B, 3k).
+    Shortlist selection rides approx_max_k (exact host rescore follows)."""
     scores = _bf16_scores(q, x16, x_sq, metric)
-    d, i = masked_top_k(scores, k, ascending, valid)
+    d, i = masked_top_c(scores, k, ascending, valid)
     return _pack_ids(d, i)
 
 
@@ -281,7 +292,7 @@ def bf16_pass_packed_window(
     per window."""
     q = jax.lax.dynamic_slice(qblock, (start, 0), (window, qblock.shape[1]))
     scores = _bf16_scores(q, x16, x_sq, metric)
-    d, i = masked_top_k(scores, k, ascending, valid)
+    d, i = masked_top_c(scores, k, ascending, valid)
     return _pack_ids(d, i)
 
 
@@ -306,8 +317,47 @@ def bf16_gather_pass_packed(
     row_sq = jnp.take(x_sq, idx, axis=0)
     ok = idx_valid & jnp.take(base_valid, idx, axis=0)
     scores = _bf16_scores(q, rows, row_sq, metric)
-    d, i = masked_top_k(scores, k, ascending, ok)
+    d, i = masked_top_c(scores, k, ascending, ok)
     return _pack_ids(d, i)
+
+
+@partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))
+def stream_block_packed(
+    q: jnp.ndarray,
+    x16: jnp.ndarray,
+    x_sq: jnp.ndarray,
+    valid: jnp.ndarray,
+    prev_packed: jnp.ndarray,
+    base: jnp.ndarray,
+    *,
+    metric: Metric,
+    c: int,
+    ascending: bool,
+    chunk: int,
+) -> jnp.ndarray:
+    """One streaming-scan step: score a corpus block, take its top-C, merge
+    with the carried top-C state, return the new packed (B, 3C) state.
+
+    The whole block sequence is dispatched asynchronously — device i+1's
+    H2D overlaps block i's scan — and only the final state is fetched.
+    ``base`` is the block's global row offset."""
+    if metric in TWO_PASS_METRICS:
+        scores = _bf16_scores(q, x16, x_sq, metric)
+        d, i = masked_top_c(scores, c, ascending, valid)
+    else:
+        d, i = bf16_flat_topk(q, x16, valid, metric=metric, k=c, chunk=chunk)
+    gid = i.astype(jnp.int32) + base
+    pd = prev_packed[:, :c]
+    hi = prev_packed[:, c : 2 * c].astype(jnp.int32)
+    lo = prev_packed[:, 2 * c :].astype(jnp.int32)
+    pid = (hi << 12) | lo
+    md, mi = merge_top_k(
+        jnp.concatenate([pd, d], axis=1),
+        jnp.concatenate([pid, gid], axis=1),
+        c,
+        ascending,
+    )
+    return _pack_ids(md, mi)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk"))
@@ -340,13 +390,13 @@ def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
 
     n_chunks = n_pad // chunk
     if n_chunks <= 1:
-        return masked_top_k(score_block(x_bf16), min(k, n_pad), ascending, valid)
+        return masked_top_c(score_block(x_bf16), min(k, n_pad), ascending, valid)
     n_main = n_chunks * chunk
     kc = min(k, chunk)
 
     def body(operand):
         xb, v, base = operand
-        d, i = masked_top_k(score_block(xb), kc, ascending, v)
+        d, i = masked_top_c(score_block(xb), kc, ascending, v)
         return d, (i + base[0]).astype(jnp.int32)
 
     bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
@@ -359,7 +409,7 @@ def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
     dists = jnp.moveaxis(dists, 0, 1).reshape(b, n_chunks * kc)
     ids = jnp.moveaxis(ids, 0, 1).reshape(b, n_chunks * kc)
     if n_main < n_pad:
-        d_t, i_t = masked_top_k(score_block(x_bf16[n_main:]), min(k, n_pad - n_main),
+        d_t, i_t = masked_top_c(score_block(x_bf16[n_main:]), min(k, n_pad - n_main),
                                 ascending, valid[n_main:])
         dists = jnp.concatenate([dists, d_t], axis=1)
         ids = jnp.concatenate([ids, (i_t + n_main).astype(jnp.int32)], axis=1)
@@ -497,6 +547,9 @@ class DeviceCorpus:
         self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs: Optional[jnp.ndarray] = None  # (cap,) bool, True = deleted
         self._sq: Optional[jnp.ndarray] = None  # (cap,) f32 bf16-row norms
+        self._sq_host: Optional[np.ndarray] = None  # host copy of the same
+        self._host16: Optional[np.ndarray] = None  # streaming-mode bf16 mirror
+        self.streaming = False  # bf16 corpus > HBM budget: blockwise scan
         self._valid_base: Optional[jnp.ndarray] = None
         self._transforms: dict[Metric, dict] = {}
         self._dirty = True
@@ -547,6 +600,13 @@ class DeviceCorpus:
         if not self._dirty or self.n == 0:
             return
         cap = self._cap_for(self.n)
+        stream = self.mesh is None and cap * self.dim * 2 > HBM_BYTES
+        if stream:
+            self._stage_streaming(cap)
+            return
+        if self.streaming:  # shrank back under the budget (compaction)
+            self.streaming = False
+            self._host16 = None
         incremental = (
             self._dev16 is not None
             and cap == self.capacity
@@ -555,7 +615,10 @@ class DeviceCorpus:
         )
         if incremental:
             lo = self._dirty_lo
-            rows16 = jnp.asarray(self._host[lo : self.n].astype(ml_dtypes.bfloat16))
+            tail16 = self._host[lo : self.n].astype(ml_dtypes.bfloat16)
+            if self._sq_host is not None:
+                self._sq_host[lo : self.n] = (tail16.astype(np.float32) ** 2).sum(axis=1)
+            rows16 = jnp.asarray(tail16)
             self._dev16 = jax.lax.dynamic_update_slice(self._dev16, rows16, (lo, 0))
             if self._dev32 is not None:
                 self._dev32 = jax.lax.dynamic_update_slice(
@@ -565,12 +628,51 @@ class DeviceCorpus:
             self._dev16 = None  # free before reallocating
             self._dev32 = None
             full16 = _alloc_rows(cap, self.dim, ml_dtypes.bfloat16)
+            # fold the proxy-norm computation into the conversion sweep: one
+            # host pass, and the first search skips a whole device compile
+            sq_host = np.zeros(cap, dtype=np.float32)
             for lo in range(0, self.n, 16 * ROW_BLOCK):
                 hi = min(lo + 16 * ROW_BLOCK, self.n)
-                full16[lo:hi] = self._host[lo:hi].astype(ml_dtypes.bfloat16)
+                block16 = self._host[lo:hi].astype(ml_dtypes.bfloat16)
+                full16[lo:hi] = block16
+                sq_host[lo:hi] = (block16.astype(np.float32) ** 2).sum(axis=1)
+            self._sq_host = sq_host
             self._dev16 = _put(full16, self._rows_sharding())
             self.capacity = cap
         self._stage_tombs()
+        self._dirty = False
+        self._dirty_lo = self.n
+
+    def _stage_streaming(self, cap: int) -> None:
+        """Streaming mode: no resident device array. The bf16 copy lives in
+        a host mirror (RAM or memmap via _alloc_rows) and searches pump
+        fixed-shape blocks through HBM with a carried top-C state."""
+        incremental = (
+            self.streaming
+            and self._host16 is not None
+            and cap == self.capacity
+            and (self.n - self._dirty_lo) * 2 <= self.n
+        )
+        self._dev16 = None
+        self._dev32 = None
+        self._tombs = None
+        if incremental:
+            lo = self._dirty_lo
+            tail16 = self._host[lo : self.n].astype(ml_dtypes.bfloat16)
+            self._host16[lo : self.n] = tail16
+            self._sq_host[lo : self.n] = (tail16.astype(np.float32) ** 2).sum(axis=1)
+        else:
+            host16 = _alloc_rows(cap, self.dim, ml_dtypes.bfloat16)
+            sq_host = np.zeros(cap, dtype=np.float32)
+            for lo in range(0, self.n, 16 * ROW_BLOCK):
+                hi = min(lo + 16 * ROW_BLOCK, self.n)
+                block16 = self._host[lo:hi].astype(ml_dtypes.bfloat16)
+                host16[lo:hi] = block16
+                sq_host[lo:hi] = (block16.astype(np.float32) ** 2).sum(axis=1)
+            self._host16 = host16
+            self._sq_host = sq_host
+            self.capacity = cap
+        self.streaming = True
         self._dirty = False
         self._dirty_lo = self.n
 
@@ -615,9 +717,16 @@ class DeviceCorpus:
         rows = np.ascontiguousarray(rows, dtype=np.float32)
         ids = np.asarray(row_ids, dtype=np.int32)
         self._host[ids] = rows
-        if self._dev16 is not None and not self._dirty and self.mesh is None:
+        if self.streaming and not self._dirty:
+            rows16 = rows.astype(ml_dtypes.bfloat16)
+            self._host16[ids] = rows16
+            self._sq_host[ids] = (rows16.astype(np.float32) ** 2).sum(axis=1)
+        elif self._dev16 is not None and not self._dirty and self.mesh is None:
             idx = jnp.asarray(ids)
-            self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows.astype(ml_dtypes.bfloat16)))
+            rows16 = rows.astype(ml_dtypes.bfloat16)
+            if self._sq_host is not None:
+                self._sq_host[ids] = (rows16.astype(np.float32) ** 2).sum(axis=1)
+            self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows16))
             if self._dev32 is not None:
                 self._dev32 = self._dev32.at[idx].set(jnp.asarray(rows))
         else:
@@ -648,6 +757,9 @@ class DeviceCorpus:
         self._dev32 = None
         self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs = None
+        self._sq_host = None
+        self._host16 = None
+        self.streaming = False
         self._dirty = True
         self._dirty_lo = 0
         self._invalidate()
@@ -664,6 +776,12 @@ class DeviceCorpus:
         """Lazily-staged f32 device copy (exact one-pass scans, elementwise
         metrics, graph/quantizer index builds gather from this)."""
         self._ensure_staged()
+        if self.streaming:
+            raise ValueError(
+                "corpus bf16 footprint exceeds the device HBM budget "
+                "(LYNSE_TPU_HBM_BYTES); the f32 device copy is unavailable in "
+                "streaming mode — searches use the blockwise streaming scan"
+            )
         if self._dev32 is None:
             if self.capacity == 0:
                 raise ValueError("empty corpus")
@@ -681,9 +799,12 @@ class DeviceCorpus:
         terms must match the bf16 matmul's own rounding)."""
         self._ensure_staged()
         if self._sq is None:
-            self._sq = jax.jit(
-                lambda x: jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
-            )(self._dev16)
+            if self._sq_host is not None and len(self._sq_host) == self.capacity:
+                self._sq = _put(self._sq_host, self._rows_sharding(1))
+            else:
+                self._sq = jax.jit(
+                    lambda x: jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
+                )(self._dev16)
         return self._sq
 
     def transform(self, metric: Metric) -> dict:
@@ -745,6 +866,12 @@ class DeviceCorpus:
             if handle.count == 0:
                 empty = (np.zeros((b, 0), dtype=np.float32), np.zeros((b, 0), dtype=np.int64))
                 return lambda: empty
+
+        self._ensure_staged()
+        if self.streaming:
+            # blockwise streaming scan (final distances stay exact via the
+            # rescore pass, so mode="exact" routes here too)
+            return self._stream_scan_submit(q, k, metric, handle, oversample)
 
         two_pass = (
             mode != "exact"
@@ -818,8 +945,10 @@ class DeviceCorpus:
 
     def stream_supported(self, metric: Metric, handle) -> bool:
         """True when the prestaged-block streaming fast path applies."""
+        self._ensure_staged()
         return (
-            metric in TWO_PASS_METRICS
+            not self.streaming
+            and metric in TWO_PASS_METRICS
             and self.n >= TWO_PASS_MIN_ROWS
             and (handle is None or (handle.count > 0 and not handle.use_gather(self.n)))
         )
@@ -847,6 +976,103 @@ class DeviceCorpus:
 
         return resolve
 
+    def _stream_block_rows(self, b: int) -> int:
+        by_bytes = STREAM_BLOCK_BYTES // (self.dim * 2)
+        by_budget = SINGLE_SHOT_BUDGET // max(b, 1)
+        return max(ROW_BLOCK, (min(by_bytes, by_budget) // ROW_BLOCK) * ROW_BLOCK)
+
+    def _stream_scan_submit(self, q: np.ndarray, k: int, metric: Metric,
+                            handle, oversample: int = 4):
+        """Blockwise >HBM scan: pump bf16 blocks from the host mirror through
+        the device, carrying a packed top-C state across block dispatches —
+        H2D of block i+1 overlaps the scan of block i (async dispatch), and
+        the whole pass costs one host sync + one exact rescore. A tiny fetch
+        every other block bounds in-flight HBM to ~2 block buffers."""
+        ascending = metric.ascending
+        b = q.shape[0]
+
+        # selective filters: exact compact scan straight off the host mirror
+        if (handle is not None and handle.use_gather(self.n)
+                and metric in TWO_PASS_METRICS):
+            if handle.indices is None:
+                handle.indices = np.nonzero(handle.mask[: self.n])[0].astype(np.int32)
+            idx = handle.indices
+
+            def resolve_gather():
+                sub = self._host[idx]  # (S, D)
+                ip = q.astype(np.float32) @ sub.T.astype(np.float32)
+                if metric is Metric.IP:
+                    exact = ip
+                elif metric is Metric.L2:
+                    q_sq = (q * q).sum(-1, keepdims=True)
+                    s_sq = (sub.astype(np.float32) ** 2).sum(-1)
+                    exact = np.maximum(q_sq + s_sq[None, :] - 2.0 * ip, 0.0)
+                else:
+                    q_sq = (q * q).sum(-1, keepdims=True)
+                    s_sq = (sub.astype(np.float32) ** 2).sum(-1)
+                    denom = np.sqrt(q_sq * s_sq[None, :])
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        exact = np.where(denom < 1e-30, 1.0,
+                                         1.0 - ip / np.maximum(denom, 1e-30))
+                # drop tombstoned rows inside the subset
+                if len(self._tombs_np):
+                    tz = self._tombs_np[idx[idx < len(self._tombs_np)]]
+                    dead = np.zeros(len(idx), dtype=bool)
+                    dead[: len(tz)] = tz
+                    exact = np.where(dead[None, :], np.nan, exact)
+                keyed = np.where(np.isnan(exact), -np.inf,
+                                 -exact if ascending else exact)
+                order = np.argsort(-keyed, axis=1, kind="stable")[:, :k]
+                d = np.take_along_axis(exact, order, axis=1).astype(np.float32)
+                i = idx[order].astype(np.int64)
+                kept = np.isfinite(np.take_along_axis(keyed, order, axis=1))
+                return _trim_results(d, i, kept, k)
+
+            return resolve_gather
+
+        c = self._shortlist_size(k, self.n, oversample)
+        block_rows = self._stream_block_rows(b)
+        chunk = min(ELEMWISE_CHUNK, block_rows)
+        qd = jnp.asarray(q)
+        fill = np.inf if ascending else -np.inf
+        init = np.concatenate([
+            np.full((b, c), fill, np.float32),
+            np.full((b, c), -1.0, np.float32),   # id hi of -1
+            np.full((b, c), 4095.0, np.float32),  # id lo of -1
+        ], axis=1)
+        state = jnp.asarray(init)
+        mask = handle.mask if handle is not None else None
+        for bi, lo in enumerate(range(0, self.capacity, block_rows)):
+            hi = min(lo + block_rows, self.capacity)
+            vb = np.zeros(hi - lo, dtype=bool)
+            live = min(self.n, hi) - lo
+            if live > 0:
+                vb[:live] = True
+                t_hi = min(len(self._tombs_np), hi)
+                if t_hi > lo:
+                    vb[: t_hi - lo] &= ~self._tombs_np[lo:t_hi]
+                if mask is not None:
+                    m_hi = min(len(mask), hi)
+                    if m_hi > lo:
+                        vb[: m_hi - lo] &= mask[lo:m_hi]
+                    if m_hi < hi:
+                        vb[max(m_hi - lo, 0):] = False
+            state = stream_block_packed(
+                qd, jnp.asarray(self._host16[lo:hi]),
+                jnp.asarray(self._sq_host[lo:hi]), jnp.asarray(vb),
+                state, jnp.int32(lo),
+                metric=metric, c=c, ascending=ascending, chunk=chunk,
+            )
+            if bi % 2 == 1:
+                np.asarray(state[:1, :1])  # backpressure: cap queued blocks
+
+        def resolve():
+            proxy, ids = unpack_search_step(np.asarray(state))
+            keep = _keep_mask(proxy, ascending)
+            return self._rescore_topk(q, ids, keep, metric, k)
+
+        return resolve
+
     def _exact_submit(self, q: np.ndarray, k: int, metric: Metric, handle):
         """One-pass f32 exact scan (reference parity path)."""
         ct = self.transform(metric)
@@ -869,7 +1095,12 @@ class DeviceCorpus:
         b, c = ids.shape
         safe = np.where(keep, ids, 0)
         rows = self._host[safe]  # (B, C, D) host gather
-        exact = host_exact_scores(q, rows, metric)
+        if metric in TWO_PASS_METRICS:
+            exact = host_exact_scores(q, rows, metric)
+        else:  # elementwise metrics rescore on device (lanes live there)
+            exact = np.asarray(rescore_rows(
+                jnp.asarray(q), jnp.asarray(rows), jnp.asarray(keep), metric=metric
+            ))
         key = -exact if metric.ascending else exact
         key = np.where(keep & np.isfinite(key), key, -np.inf)
         # stable best-first order with id tiebreak (matches lax.top_k's
@@ -918,6 +1149,8 @@ class DeviceCorpus:
 
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         self._ensure_staged()
+        if self.streaming:  # the streaming scan is already a two-pass plan
+            return self.search(queries, k, metric, filter_mask)
         n_pad = self.n_pad
         handle = None
         if filter_mask is not None:
@@ -951,12 +1184,26 @@ class DeviceCorpus:
         (reference: engine.rs:6410 search_range)."""
         if self.n == 0:
             return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.int64)
-        q = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(1, -1))
-        qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
-        ct = self.transform(metric)
         handle = None
         if filter_mask is not None:
             handle = filter_mask if isinstance(filter_mask, FilterHandle) else FilterHandle(filter_mask)
+        self._ensure_staged()
+        if metric in TWO_PASS_METRICS or self.streaming:
+            # top-(max_results) two-pass + threshold filter instead of
+            # materializing and fetching the (1, N_pad) score matrix — the
+            # semantics are identical because range results are capped at
+            # the best max_results anyway (reference streams a threshold
+            # test the same way, engine.rs:6410). Distances are exact (host
+            # rescore); only the order-N fetch is gone.
+            qv = np.asarray(query, dtype=np.float32).reshape(1, -1)
+            d, i = self.search(qv, max_results, metric, filter_mask=handle)
+            d, i = d[0], i[0]
+            ok = i >= 0
+            ok &= (d <= threshold) if metric.ascending else (d >= threshold)
+            return d[ok].astype(np.float32), i[ok].astype(np.int64)
+        q = jnp.asarray(np.asarray(query, dtype=np.float32).reshape(1, -1))
+        qt = jax.jit(D.query_transform, static_argnames=("metric",))(q, metric)
+        ct = self.transform(metric)
         valid = self.valid_mask(handle)
         chunk = scan_chunk_size(metric, self.n_pad, 1)
         scores = np.asarray(flat_scores(qt, ct, valid, metric=metric, chunk=chunk))[0]
@@ -986,7 +1233,10 @@ class DeviceCorpus:
         if metric in TWO_PASS_METRICS:
             exact = host_exact_scores(q, self._host[safe], metric)
             return np.where(valid, exact, np.nan)
-        rows = self._data[jnp.asarray(safe.astype(np.int32))].astype(jnp.float32)
+        if self.streaming:
+            rows = jnp.asarray(self._host[safe])
+        else:
+            rows = self._data[jnp.asarray(safe.astype(np.int32))].astype(jnp.float32)
         vd = jnp.asarray(valid)
         out = rescore_rows(q, rows * vd[..., None], vd, metric=metric)
         return np.asarray(out)

@@ -9,12 +9,19 @@ deterministically).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
+
+# Per-candidate recall target for the *shortlist* selection pass (the
+# candidates are exact-rescored afterwards, so end-to-end recall@k is far
+# higher than this — the misses concentrate at the shortlist boundary, and
+# the shortlist is 4-16x oversampled vs k).
+SHORTLIST_RECALL = float(os.environ.get("LYNSE_TPU_SHORTLIST_RECALL", "0.99"))
 
 
 def orient(scores: jnp.ndarray, ascending: bool) -> jnp.ndarray:
@@ -49,6 +56,38 @@ def masked_top_k(
     # (an iterative argmax-and-mask formulation measured 6x slower and
     # pathologically slow to compile — do not resurrect it).
     top_keys, idx = jax.lax.top_k(keyed, k)
+    return unorient(top_keys, ascending), idx
+
+
+def masked_top_c(
+    scores: jnp.ndarray,
+    c: int,
+    ascending: bool,
+    valid: jnp.ndarray | None = None,
+):
+    """Shortlist top-C selection for two-pass searches.
+
+    Same contract as :func:`masked_top_k` but uses ``jax.lax.approx_max_k``
+    — the TPU's hardware PartialReduce op — instead of the exact sort
+    network. On million-long lanes the exact ``lax.top_k`` costs multiples
+    of the scan matmul itself and scales with batch; PartialReduce runs at
+    near scan bandwidth. Exactness is NOT given up end-to-end: every caller
+    exact-rescores the shortlist (host mirror f32) before returning, and
+    the shortlist is oversampled, so recall@k stays gated at the exact-flat
+    floor (0.999). On CPU backends XLA lowers approx_max_k to the exact
+    top-k, so tests are bit-deterministic.
+
+    Do NOT use this for paths whose selection IS the final answer (the
+    one-pass exact scan keeps :func:`masked_top_k`).
+    """
+    keyed = orient(scores, ascending)
+    keyed = jnp.where(jnp.isnan(keyed), NEG_INF, keyed)
+    if valid is not None:
+        if valid.ndim == 1:
+            valid = valid[None, :]
+        keyed = jnp.where(valid, keyed, NEG_INF)
+    c = min(c, scores.shape[-1])
+    top_keys, idx = jax.lax.approx_max_k(keyed, c, recall_target=SHORTLIST_RECALL)
     return unorient(top_keys, ascending), idx
 
 

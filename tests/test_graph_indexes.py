@@ -237,3 +237,60 @@ def test_hnsw_incremental_insert_holds_recall(db, rng):
         res = coll.search(q, k=k)
         hits += len(set(int(x) for x in res.ids) & set(int(x) for x in want))
     assert hits / (15 * k) >= 0.9
+
+
+def test_diskann_layered_pq_beam(db, graph_data, monkeypatch):
+    """Layered mode (reference diskann.rs:276/:602): PQ-guided beam + exact
+    host-mirror rescore. The f32 corpus must never be staged on device, so
+    the index keeps working when the corpus exceeds the device budget."""
+    import lynsedb_tpu.index.diskann as da
+
+    monkeypatch.setattr(da, "LAYERED_MIN_ROWS", 1000)
+    data, queries = graph_data
+    coll = db.require_collection("g_layered", dim=32, drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-L2")
+    idx = coll._engine._index
+    assert idx.layered and idx.pq_codes.shape == (len(data), idx.pq.m)
+
+    corpus = coll._engine.corpus()
+    corpus._dev32 = None  # drop anything staged during build
+    want = np.argsort(((data[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    total = 0.0
+    for i in range(len(queries)):
+        res = coll.search(queries[i], k=10, nprobe=80)
+        total += _recall(res.ids, want[i])
+    recall = total / len(queries)
+    assert recall >= 0.9, f"layered recall {recall:.3f}"
+    assert corpus._dev32 is None, "layered search must not stage the f32 corpus"
+    # distances are exact (host rescore): spot-check vs numpy
+    res = coll.search(queries[0], k=3)
+    got = ((data[np.asarray(res.ids, dtype=int)] - queries[0]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(res.distances), got, rtol=1e-4)
+
+
+def test_diskann_layered_insert_and_reload(db, graph_data, rng, monkeypatch):
+    import lynsedb_tpu.index.diskann as da
+
+    monkeypatch.setattr(da, "LAYERED_MIN_ROWS", 1000)
+    data, queries = graph_data
+    coll = db.require_collection("g_layered2", dim=32, drop_if_exists=True, default_index=None)
+    coll.add(list(range(2000)), vectors=data[:2000])
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    # in-place insert keeps the code tier in lockstep
+    coll.add(list(range(2000, 2050)), vectors=data[2000:2050])
+    coll.commit()
+    idx = coll._engine._index
+    assert idx.layered and idx.pq_codes.shape[0] == 2050
+    probe = data[2049]
+    res = coll.search(probe, k=5, nprobe=80)
+    assert 2049 in res.ids.tolist()
+    # reload from disk keeps layered artifacts
+    from lynsedb_tpu.engine.collection import Collection
+
+    eng = Collection(coll._engine.root, "g_layered2")
+    assert eng._index is not None and eng._index.layered
+    assert eng._index.pq_codes.shape[0] == 2050
+    eng.close()

@@ -185,3 +185,81 @@ def test_host_mirror_spills_to_memmap(rng, monkeypatch):
     want = np.argsort(-(x @ q[0]))[:5]
     assert i[0].tolist() == want.tolist()
     np.testing.assert_allclose(d[0], np.sort(x @ q[0])[::-1][:5], rtol=1e-6)
+
+
+class TestStreamingScan:
+    """Blockwise >HBM streaming mode (reference capability: mmap scan beyond
+    RAM, flat_mmap.rs:89) forced via a tiny HBM budget."""
+
+    @pytest.fixture()
+    def stream_corpus(self, rng, monkeypatch):
+        import lynsedb_tpu.ops.scan as scan_mod
+
+        monkeypatch.setattr(scan_mod, "HBM_BYTES", 1 << 20)  # 1 MB: force streaming
+        monkeypatch.setattr(scan_mod, "STREAM_BLOCK_BYTES", 1 << 22)
+        c = DeviceCorpus(dim=32)
+        data = rng.normal(size=(40_000, 32)).astype(np.float32)
+        c.append(data)
+        return c, data
+
+    def test_streaming_engages_and_matches_exact(self, stream_corpus, rng):
+        c, data = stream_corpus
+        q = rng.normal(size=(3, 32)).astype(np.float32)
+        d, i = c.search(q, 10, Metric.IP)
+        assert c.streaming and c._dev16 is None
+        want = np.argsort(-(q @ data.T), axis=1)[:, :10]
+        for row in range(3):
+            assert set(i[row].tolist()) == set(want[row].tolist())
+            np.testing.assert_allclose(
+                d[row], np.sort((q[row] @ data[i[row]].T))[::-1], rtol=1e-5)
+
+    def test_streaming_l2_and_elementwise(self, stream_corpus, rng):
+        c, data = stream_corpus
+        q = rng.normal(size=(2, 32)).astype(np.float32)
+        d, i = c.search(q, 5, Metric.L2)
+        want = np.argsort(((data[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :5]
+        assert set(i[0].tolist()) == set(want[0].tolist())
+        # elementwise metric streams through bf16_flat_topk blocks + rescore
+        d, i = c.search(q, 5, Metric.L1)
+        want = np.argsort(np.abs(data[None] - q[:, None]).sum(-1), axis=1)[:, :5]
+        overlap = len(set(i[0].tolist()) & set(want[0].tolist()))
+        assert overlap >= 4  # bf16 proxy ties can swap the boundary
+
+    def test_streaming_filters_tombstones_overwrite(self, stream_corpus, rng):
+        c, data = stream_corpus
+        q = rng.normal(size=(1, 32)).astype(np.float32)
+        # selective filter -> host compact path
+        mask = np.zeros(len(data), dtype=bool)
+        mask[:500] = True
+        d, i = c.search(q, 5, Metric.IP, filter_mask=mask)
+        assert (i < 500).all()
+        want = np.argsort(-(q @ data[:500].T), axis=1)[:, :5]
+        assert set(i[0].tolist()) == set(want[0].tolist())
+        # non-selective filter -> per-block mask
+        mask2 = np.ones(len(data), dtype=bool)
+        mask2[::2] = False
+        d, i = c.search(q, 5, Metric.IP, filter_mask=mask2)
+        assert (i[0] % 2 == 1).all()
+        # tombstones
+        top = int(np.argmax(q[0] @ data.T))
+        tombs = np.zeros(len(data), dtype=bool)
+        tombs[top] = True
+        c.set_tombstones(tombs)
+        d, i = c.search(q, 5, Metric.IP)
+        assert top not in i[0].tolist()
+        c.set_tombstones(np.zeros(len(data), dtype=bool))
+        # overwrite updates the host16 mirror in place
+        new_row = (q[0] * 10).astype(np.float32)
+        c.overwrite(np.asarray([123]), new_row[None])
+        d, i = c.search(q, 1, Metric.IP)
+        assert i[0, 0] == 123
+
+    def test_streaming_range_search(self, stream_corpus, rng):
+        c, data = stream_corpus
+        q = rng.normal(size=32).astype(np.float32)
+        scores = data @ q
+        thr = float(np.percentile(scores, 99.99))
+        d, i = c.range_search(q, thr, Metric.IP, max_results=100)
+        want = np.nonzero(scores >= thr)[0]
+        assert set(i.tolist()) == set(want.tolist())
+        assert (np.diff(d) <= 1e-6).all()  # best-first

@@ -5,6 +5,11 @@ Mirrors the reference's committed benchmark config
 6.013 ms / 166 QPS / recall@10 1.0000 on CPU — see BASELINE.md). Runs the
 full client path (filter resolution, device scan, id mapping, ResultView).
 
+Also records the reference's companion scenario rows: filtered search at
+1M / ~100k subset (:99-101), hybrid search (:67-68), HTTP-service-mode
+search (:183-186), embedded startup (:176), and a second-process
+open -> first-search figure (cold-start story).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 where vs_baseline is the speedup ratio over the reference's 6.013 ms.
@@ -14,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -27,6 +33,7 @@ D = int(os.environ.get("BENCH_D", 128))
 K = 10
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 100))
 INGEST_BATCH = 100_000
+RUN_SERVICE = os.environ.get("BENCH_SERVICE", "1") != "0"
 
 
 def log(msg: str) -> None:
@@ -41,7 +48,8 @@ def main() -> None:
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     with tempfile.TemporaryDirectory() as tmp:
-        client = lynse.VectorDBClient(os.path.join(tmp, "bench_root"))
+        root = os.path.join(tmp, "bench_root")
+        client = lynse.VectorDBClient(root)
         db = client.create_database("bench", drop_if_exists=True)
         coll = db.require_collection("v", dim=D, drop_if_exists=True)
 
@@ -51,10 +59,12 @@ def main() -> None:
         gt_scores = np.full((5, K), -np.inf, dtype=np.float32)
         gt_ids = np.full((5, K), -1, dtype=np.int64)
         ingest_s = 0.0
+        chunks = []
         for start in range(0, N, INGEST_BATCH):
             m = min(INGEST_BATCH, N - start)
             chunk = rng.normal(size=(m, D)).astype(np.float32)
             chunk /= np.linalg.norm(chunk, axis=1, keepdims=True)
+            chunks.append(chunk)
             s = gt_q @ chunk.T  # (5, m) numpy f32 ground truth
             merged = np.concatenate([gt_scores, s], axis=1)
             merged_ids = np.concatenate(
@@ -68,13 +78,18 @@ def main() -> None:
             ingest_s += time.perf_counter() - t0
         t0 = time.perf_counter()
         coll.commit()
-        ingest_s += time.perf_counter() - t0
-        log(f"ingest: {N} x {D} in {ingest_s:.2f}s = {N / ingest_s:,.0f} vec/s")
+        commit_s = time.perf_counter() - t0
+        ingest_s += commit_s
+        log(
+            f"ingest: {N} x {D} in {ingest_s:.2f}s = {N / ingest_s:,.0f} vec/s "
+            f"(commit/stage {commit_s:.2f}s)"
+        )
 
-        # ── warm up (device staging + compile) ────────────────────────────
+        # ── warm up (compile + first execution; staging already happened at
+        #    commit) ────────────────────────────────────────────────────────
         t0 = time.perf_counter()
         coll.search(queries[0], k=K)
-        log(f"warm-up (stage+compile): {time.perf_counter() - t0:.2f}s")
+        log(f"warm-up (compile + first search): {time.perf_counter() - t0:.2f}s")
 
         # ── recall@10 vs exact numpy ground truth ─────────────────────────
         hits = 0
@@ -101,23 +116,24 @@ def main() -> None:
             f"p95 {p95:.3f} | QPS {1e3 / seq_ms:,.0f}"
         )
 
-        # ── pipelined single-query stream (headline): queries micro-batched
-        #    into windows, up to two windows in flight ──────────────────────
-        coll.search_stream(queries[:16], k=K, window=16)  # warm window shape
+        # ── pipelined single-query stream (headline): auto window targets
+        #    <=2 dispatch chains per stream segment ─────────────────────────
+        coll.search_stream(queries, k=K)  # warm window shapes
         t0 = time.perf_counter()
-        results = coll.search_stream(queries, k=K, window=16)
+        results = coll.search_stream(queries, k=K)
         stream_s = time.perf_counter() - t0
         assert len(results) == N_QUERIES
         mean_ms = stream_s / N_QUERIES * 1e3
         log(
-            f"pipelined search (window=16): mean {mean_ms:.3f} ms/query | "
+            f"pipelined search (auto window): mean {mean_ms:.3f} ms/query | "
             f"QPS {1e3 / mean_ms:,.0f}"
         )
 
         # ── batched throughput (amortized HBM reads; fresh queries per rep
         #    so transport-level memoization can't flatter the numbers) ─────
-        for batch in (16, 64):
-            coll.batch_search(queries[:batch], k=K)  # compile
+        for batch in (16, 64, 256):
+            coll.batch_search(queries[:batch] if batch <= N_QUERIES else
+                              np.tile(queries, (batch // N_QUERIES + 1, 1))[:batch], k=K)
             reps = 5
             qsets = [
                 rng.normal(size=(batch, D)).astype(np.float32) for _ in range(reps)
@@ -128,24 +144,101 @@ def main() -> None:
             dt = (time.perf_counter() - t0) / reps
             log(f"batch_search B={batch}: {dt * 1e3:.2f} ms/batch = {batch / dt:,.0f} QPS")
 
-        # ── filtered search (10% bucket: gather-then-scan compact path) ──
+        # ── filtered search at full scale: 1M corpus, 10% bucket ≈ 100k
+        #    subset (reference 1M filtered row, benchmarks.md:99-101; sits
+        #    exactly at the gather-policy boundary GATHER_MAX_ROWS) ────────
         coll2 = db.require_collection("vf", dim=D, drop_if_exists=True)
-        m = min(N, 100_000)
-        chunk = rng.normal(size=(m, D)).astype(np.float32)
-        coll2.add(list(range(m)), vectors=chunk,
-                  fields=[{"bucket": i % 10} for i in range(m)])
+        t0 = time.perf_counter()
+        for start in range(0, N, INGEST_BATCH):
+            m = min(INGEST_BATCH, N - start)
+            coll2.add(list(range(start, start + m)), vectors=chunks[start // INGEST_BATCH],
+                      fields=[{"bucket": i % 10} for i in range(start, start + m)])
         coll2.commit()
-        coll2.search(queries[0], k=K, where="bucket = 3")
+        log(f"ingest with fields: {N} rows in {time.perf_counter() - t0:.2f}s")
+        del chunks
+        coll2.search(queries[0], k=K, where="bucket = 3")  # warm + filter cache
         t0 = time.perf_counter()
         for i in range(20):
             coll2.search(queries[i], k=K, where="bucket = 3")
         filt_ms = (time.perf_counter() - t0) / 20 * 1e3
-        log(f"filtered search sequential (bucket=3): {filt_ms:.3f} ms")
-        coll2.search_stream(queries[:16], k=K, where="bucket = 3", window=16)
+        log(f"filtered search 1M/100k sequential: {filt_ms:.3f} ms")
+        coll2.search_stream(queries[:32], k=K, where="bucket = 3")
         t0 = time.perf_counter()
-        coll2.search_stream(queries[:96], k=K, where="bucket = 3", window=16)
+        coll2.search_stream(queries[:96], k=K, where="bucket = 3")
         filt_stream_ms = (time.perf_counter() - t0) / 96 * 1e3
-        log(f"filtered search pipelined (bucket=3): {filt_stream_ms:.3f} ms/query")
+        log(f"filtered search 1M/100k pipelined: {filt_stream_ms:.3f} ms/query")
+
+        # ── hybrid search (vector + BM25 fusion; reference 4.809 ms / 208
+        #    QPS at 100k, benchmarks.md:67-68) ───────────────────────────────
+        collh = db.require_collection("vh", dim=D, drop_if_exists=True)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+                 "theta", "iota", "kappa"]
+        m = min(N, 100_000)
+        hv = rng.normal(size=(m, D)).astype(np.float32)
+        collh.add(
+            list(range(m)), vectors=hv,
+            fields=[{"text": f"{words[i % 10]} {words[(i // 10) % 10]} doc {i}"}
+                    for i in range(m)],
+        )
+        collh.commit()
+        collh.hybrid_search(vector=queries[0], text="alpha beta", k=K)  # warm (materializes BM25)
+        t0 = time.perf_counter()
+        for i in range(20):
+            collh.hybrid_search(vector=queries[i], text=f"{words[i % 10]} doc", k=K)
+        hyb_ms = (time.perf_counter() - t0) / 20 * 1e3
+        log(f"hybrid search (100k, vector+bm25 rrf): {hyb_ms:.3f} ms | QPS {1e3 / hyb_ms:,.0f}")
+
+        # ── embedded startup (reference 2.087 ms, benchmarks.md:176):
+        #    client + collection handle open on existing data, no search ───
+        t0 = time.perf_counter()
+        c2 = lynse.VectorDBClient(root, read_only=True)
+        db2 = c2.get_database("bench")
+        db2.get_collection("vh", warm_up=False)
+        startup_ms = (time.perf_counter() - t0) * 1e3
+        log(f"embedded startup (open existing): {startup_ms:.2f} ms")
+        c2.close()
+
+        # ── second-process cold start: open -> first search in a fresh
+        #    interpreter (persistent-compile-cache / staging story) ────────
+        code = (
+            "import time,sys,numpy as np\n"
+            "t0=time.perf_counter()\n"
+            "import lynsedb_tpu as lynse\n"
+            f"c=lynse.VectorDBClient({root!r}, read_only=True)\n"
+            f"coll=c.get_database('bench').get_collection('v', warm_up=False)\n"
+            "q=np.zeros((128,),dtype=np.float32); q[0]=1\n"
+            "r=coll.search(q,k=10)\n"
+            "print(f'SECOND_PROCESS {time.perf_counter()-t0:.2f}', file=sys.stderr)\n"
+        )
+        t0 = time.perf_counter()
+        proc = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+        sp_line = [l for l in proc.stderr.splitlines() if "SECOND_PROCESS" in l]
+        if sp_line:
+            log(f"second-process open->first-search: {sp_line[0].split()[-1]}s "
+                f"(wall {time.perf_counter() - t0:.2f}s)")
+        else:
+            log(f"second-process run failed: {proc.stderr[-300:]}")
+
+        # ── HTTP service mode (reference 2.439 ms / 410 QPS at 100k,
+        #    benchmarks.md:183-186) ─────────────────────────────────────────
+        if RUN_SERVICE:
+            from lynsedb_tpu.server.app import BackgroundServer
+
+            srv = BackgroundServer(os.path.join(tmp, "srv_root"), port=0)
+            hc = lynse.VectorDBClient(srv.url)
+            hdb = hc.create_database("hbench", drop_if_exists=True)
+            hcoll = hdb.require_collection("v", dim=D)
+            for start in range(0, m, INGEST_BATCH):
+                stop = min(start + INGEST_BATCH, m)
+                hcoll.add(list(range(start, stop)), vectors=hv[start:stop])
+            hcoll.commit()
+            hcoll.search(queries[0], k=K)  # warm
+            t0 = time.perf_counter()
+            for i in range(50):
+                hcoll.search(queries[i % N_QUERIES], k=K)
+            http_ms = (time.perf_counter() - t0) / 50 * 1e3
+            log(f"HTTP service search (100k): {http_ms:.3f} ms | QPS {1e3 / http_ms:,.0f}")
+            srv.stop()
 
         client.close()
 

@@ -716,24 +716,33 @@ class Collection:
                     self, q, k, mask=handle.mask if handle else None, nprobe=nprobe
                 )
                 index_path = self._index.kind
+                scanned = getattr(self._index, "last_scanned", subset)
             elif self._aux_index is not None and not use_exact:
                 dists, ids = self._aux_index.search(
                     self, q, k, nprobe=nprobe, mask=handle.mask if handle else None
                 )
                 index_path = self._aux_index.kind
+                scanned = getattr(self._aux_index, "last_scanned", subset)
             elif approx and metric.supports_flat_approx:
                 dists, ids = corpus.search_approx(q, k, metric, eps=eps, filter_mask=handle)
                 index_path = "approx_flat"
+                scanned = corpus.last_scanned
             else:
                 dists, ids = corpus.search(q, k, metric, filter_mask=handle)
+                scanned = corpus.last_scanned
             t2 = time.perf_counter()
 
             prof = None
             if profile:
+                # scanned_vectors = rows whose distance was actually computed
+                # on this query's path (reference engine.rs:6906): probed
+                # cluster rows for IVF, visited nodes for graphs, N (+exact
+                # rescore shortlist) for flat two-pass, the compact subset
+                # for gathered filters
                 prof = QueryProfile(
                     index_path=index_path,
                     filter_matches=subset,
-                    scanned_vectors=subset,
+                    scanned_vectors=int(scanned),
                     filter_us=int((t1 - t0) * 1e6),
                     search_us=int((t2 - t1) * 1e6),
                     total_us=int((t2 - t0) * 1e6),

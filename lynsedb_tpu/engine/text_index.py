@@ -14,6 +14,7 @@ from pathlib import Path
 from typing import Iterable, Optional
 
 import msgpack
+import numpy as np
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
@@ -44,6 +45,13 @@ class InvertedTextIndex:
         self.postings: dict[str, dict[int, dict[str, int]]] = {}
         # iid -> {field: token_count}
         self.doc_lengths: dict[int, dict[str, int]] = {}
+        # vectorized-scoring caches (all-fields queries), invalidated by
+        # bumping _version on any mutation
+        self._version = 0
+        self._arr_version = -1
+        self._len_arr: Optional[np.ndarray] = None
+        self._total_len = 0.0
+        self._term_arrays: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._load()
 
     # ── persistence ──────────────────────────────────────────────────────
@@ -55,6 +63,7 @@ class InvertedTextIndex:
                 t: {int(i): dict(fs) for i, fs in p.items()} for t, p in data["postings"].items()
             }
             self.doc_lengths = {int(i): dict(fs) for i, fs in data["doc_lengths"].items()}
+            self._version += 1
 
     def save(self) -> None:
         from ..storage.vector_store import write_atomic
@@ -76,6 +85,7 @@ class InvertedTextIndex:
     def remove_document(self, iid: int) -> None:
         if iid not in self.doc_lengths:
             return
+        self._version += 1
         del self.doc_lengths[iid]
         dead = []
         for term, posting in self.postings.items():
@@ -89,6 +99,7 @@ class InvertedTextIndex:
         self.remove_document(iid)
         if not fields:
             return
+        self._version += 1
         lengths: dict[str, int] = {}
         for field, value in fields.items():
             terms = searchable_terms(value)
@@ -133,6 +144,8 @@ class InvertedTextIndex:
         if not query_counts:
             return []
         fields = set(text_fields) if text_fields else None
+        if fields is None:
+            return self._search_all_fields(query_counts, limit, allowed_iids, tombstones)
 
         def allowed(iid: int) -> bool:
             if tombstones is not None and tombstones.get(iid):
@@ -187,3 +200,76 @@ class InvertedTextIndex:
                 scored.append((iid, score))
         scored.sort(key=lambda p: (-p[1], p[0]))
         return scored[:limit]
+
+    # ── vectorized all-fields scoring ────────────────────────────────────
+    # The per-candidate Python loop above is O(candidates x terms) — ~350 ms
+    # for a common term over 100k docs. All-fields queries (the default)
+    # score each term's posting as one numpy expression over cached arrays
+    # instead; the reference gets the same effect from compiled Rust
+    # (engine.rs:5200 bm25_text_scores).
+
+    def _ensure_arrays(self) -> None:
+        if self._arr_version == self._version:
+            return
+        max_iid = max(self.doc_lengths, default=-1)
+        la = np.zeros(max_iid + 1, dtype=np.float32)
+        for iid, lengths in self.doc_lengths.items():
+            la[iid] = sum(lengths.values())
+        self._len_arr = la
+        self._total_len = float(la.sum())
+        self._term_arrays = {}
+        self._arr_version = self._version
+
+    def _term_arr(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        arr = self._term_arrays.get(term)
+        if arr is None:
+            posting = self.postings.get(term, {})
+            iids = np.fromiter(posting.keys(), dtype=np.int64, count=len(posting))
+            tfs = np.fromiter(
+                (sum(f.values()) for f in posting.values()),
+                dtype=np.float32, count=len(posting),
+            )
+            arr = (iids, tfs)
+            self._term_arrays[term] = arr
+        return arr
+
+    def _search_all_fields(self, query_counts, limit, allowed_iids, tombstones):
+        self._ensure_arrays()
+        n = len(self._len_arr)
+        if n == 0:
+            return []
+        n_docs = float(len(self.doc_lengths))
+        avg_doc_len = max(self._total_len / max(n_docs, 1.0), 1e-9)
+        scores = np.zeros(n, dtype=np.float32)
+        for term, qc in query_counts.items():
+            iids, tfs = self._term_arr(term)
+            if len(iids) == 0:
+                continue
+            df = float(len(iids))
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            dl = self._len_arr[iids]
+            scores[iids] += qc * idf * (tfs * (K1 + 1.0)) / (
+                tfs + K1 * (1.0 - B + B * dl / avg_doc_len)
+            )
+        live = scores > 0.0
+        if tombstones is not None:
+            if hasattr(tombstones, "to_bool_array"):
+                dead = tombstones.to_bool_array(n)
+                live &= ~dead[:n]
+            else:
+                for iid in np.nonzero(live)[0]:
+                    if tombstones.get(int(iid)):
+                        live[iid] = False
+        if allowed_iids is not None:
+            allow = np.zeros(n, dtype=bool)
+            ok = np.fromiter((i for i in allowed_iids if 0 <= i < n), dtype=np.int64)
+            allow[ok] = True
+            live &= allow
+        cand = np.nonzero(live)[0]
+        if len(cand) == 0:
+            return []
+        take = min(limit, len(cand))
+        part = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+        order = np.lexsort((part, -scores[part]))
+        top = part[order]
+        return [(int(i), float(scores[i])) for i in top]

@@ -200,16 +200,17 @@ class DiskANNIndex:
             # PQ-guided beam + exact host-mirror rescore: no f32 corpus on
             # device (diskann.rs:602 + uses_store_rescore semantics)
             codes_d, books_d, row_sq_d = self._pq_device()
-            _, pool = beam_search_pq(
+            _, pool, scanned = beam_search_pq(
                 qj, codes_d, books_d, row_sq_d, self._graph(),
                 jnp.asarray(self._starts_np.astype(np.int32)), live,
                 metric_kind=_PQ_METRIC_KIND[metric], beam=beam,
                 max_steps=beam * 2,
             )
             ids = np.asarray(pool, dtype=np.int64)
+            self.last_scanned = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
             dists = corpus.rescore(np.atleast_2d(q.astype(np.float32)), ids, metric)
         else:
-            keys, ids = beam_search(
+            keys, ids, scanned = beam_search(
                 qj,
                 corpus._data[: self.built_rows].astype(jnp.float32),
                 self._graph(),
@@ -220,6 +221,7 @@ class DiskANNIndex:
                 max_steps=beam * 2,
                 k=k,
             )
+            self.last_scanned = int(np.asarray(scanned).max(initial=0))
             keys = np.asarray(keys)
             ids = np.asarray(ids, dtype=np.int64)
             dists = -keys if metric.ascending else keys

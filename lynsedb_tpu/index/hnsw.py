@@ -152,7 +152,7 @@ class HNSWIndex:
         live = corpus.valid_mask(mask)[: self.built_rows]
         # shared entry set: the per-query descents, deduped
         starts = jnp.asarray(np.unique(entries).astype(np.int32))
-        keys, ids = beam_search(
+        keys, ids, scanned = beam_search(
             jnp.asarray(q2),
             dev["rows"],
             dev["layer0"],
@@ -163,6 +163,7 @@ class HNSWIndex:
             max_steps=ef * 2,
             k=k,
         )
+        self.last_scanned = int(np.asarray(scanned).max(initial=0))
         keys = np.asarray(keys)
         ids = np.asarray(ids, dtype=np.int64)
         dists = -keys if metric.ascending else keys

@@ -247,6 +247,17 @@ class IVFIndex:
         qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
         if metric.is_binary:
             qj = (qj > 0.5).astype(jnp.float32)
+        # honest profile figure (engine.rs:6906): rows in the probed
+        # clusters. Device slots are block-padded, so scale the probed slot
+        # count by the global fill factor (real rows / total slots).
+        total_slots = max(dev["blocks"].shape[0] * dev["blocks"].shape[1], 1)
+        probed_slots = (
+            min(nprobe, dev["centroids"].shape[0])
+            * dev["cluster_blocks"].shape[1]
+            * dev["blocks"].shape[1]
+        )
+        fill = min(self.built_rows / total_slots, 1.0)
+        self.last_scanned = min(int(round(probed_slots * fill)), self.built_rows)
         dists, ids = _ivf_search_kernel(
             qj,
             dev["centroids"],

@@ -154,6 +154,8 @@ class AuxQuantIndex:
         scores = self._approx_scores(q)  # (B, n_codes)
         live = corpus.valid_mask(mask)[:n_codes]
         shortlist = min(max(k * OVERSAMPLE[self.kind], k), n_codes)
+        # code scan touches every encoded row; shortlist rows get exact rescored
+        self.last_scanned = n_codes + shortlist
         _, cand = masked_top_k(scores, shortlist, metric.ascending, live)
         cand_np = np.asarray(cand, dtype=np.int64)
 

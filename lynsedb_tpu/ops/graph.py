@@ -53,8 +53,11 @@ def beam_search(
     max_steps: int,
     k: int,
 ):
-    """Batched best-first beam search. Returns (keys (B,k), ids (B,k)) with
-    ids == -1 where the pool ran dry; keys are oriented (bigger = better)."""
+    """Batched best-first beam search. Returns (keys (B,k), ids (B,k),
+    scanned (B,)) with ids == -1 where the pool ran dry; keys are oriented
+    (bigger = better); scanned counts visited nodes (rows whose distance was
+    computed — the honest per-query work figure, reference engine.rs:6906
+    QueryProfile.scanned_vectors)."""
     b, d = q.shape
     n, r = graph.shape
     s = starts.shape[0]
@@ -118,7 +121,7 @@ def beam_search(
     top_keys, pos = jax.lax.top_k(pool_keys, k_eff)
     top_ids = jnp.take_along_axis(pool_ids, pos, axis=1)
     top_ids = jnp.where(top_keys > NEG_INF, top_ids, -1)
-    return top_keys, top_ids
+    return top_keys, top_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps"))
@@ -145,8 +148,9 @@ def beam_search_pq(
     semantics, vector_store.rs:611), so HBM holds only codes + adjacency —
     the corpus can exceed the device budget and graph search still runs.
 
-    Returns (keys (B, beam), ids (B, beam)) — the FULL pool, best-first in
-    approximate key space; ids == -1 where the pool ran dry.
+    Returns (keys (B, beam), ids (B, beam), scanned (B,)) — the FULL pool,
+    best-first in approximate key space; ids == -1 where the pool ran dry;
+    scanned counts visited nodes.
     """
     b, d = q.shape
     n, r = graph.shape
@@ -222,7 +226,7 @@ def beam_search_pq(
         cond, step, (pool_ids, pool_keys, pool_exp, visited, jnp.int32(0))
     )
     pool_ids = jnp.where(pool_keys > NEG_INF, pool_ids, -1)
-    return pool_keys, pool_ids
+    return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("metric",))
@@ -336,7 +340,7 @@ def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
     q_ids = np.concatenate([ids, np.zeros(pad, dtype=ids.dtype)]) if pad > 0 else ids
     graph_dev = jnp.asarray(graph)
     q = corpus_rows[jnp.asarray(q_ids)]
-    keys, cands = beam_search(
+    keys, cands, _ = beam_search(
         q, corpus_rows, graph_dev, starts, valid,
         metric=metric, beam=l_build, max_steps=l_build * 2, k=l_build,
     )

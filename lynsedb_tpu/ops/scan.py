@@ -256,7 +256,7 @@ def _bf16_scores(q: jnp.ndarray, x16: jnp.ndarray, x_sq: jnp.ndarray, metric: Me
     return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "ascending"))
+@partial(jax.jit, static_argnames=("metric", "k", "ascending", "pallas"))
 def bf16_pass_packed(
     q: jnp.ndarray,
     x16: jnp.ndarray,
@@ -266,15 +266,24 @@ def bf16_pass_packed(
     metric: Metric,
     k: int,
     ascending: bool,
+    pallas: bool = False,
 ) -> jnp.ndarray:
     """Single-dispatch bf16 first pass over the full corpus: packed (B, 3k).
-    Shortlist selection rides approx_max_k (exact host rescore follows)."""
+    Shortlist selection rides approx_max_k (exact host rescore follows).
+    ``pallas=True`` swaps in the fused one-HBM-pass Pallas kernel
+    (LYNSE_TPU_PALLAS=1; see ops/pallas_scan.py)."""
+    if pallas:
+        from .pallas_scan import first_pass_topc
+
+        d, i = first_pass_topc(q, x16, x_sq, valid, metric=metric, c=k,
+                               ascending=ascending)
+        return _pack_ids(d, i)
     scores = _bf16_scores(q, x16, x_sq, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
     return _pack_ids(d, i)
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "ascending", "window"))
+@partial(jax.jit, static_argnames=("metric", "k", "ascending", "window", "pallas"))
 def bf16_pass_packed_window(
     qblock: jnp.ndarray,
     start: jnp.ndarray,
@@ -286,11 +295,18 @@ def bf16_pass_packed_window(
     k: int,
     ascending: bool,
     window: int,
+    pallas: bool = False,
 ) -> jnp.ndarray:
     """Streaming variant: the query stream is uploaded once as ``qblock``
     and each window slices it on device — one H2D per stream instead of one
     per window."""
     q = jax.lax.dynamic_slice(qblock, (start, 0), (window, qblock.shape[1]))
+    if pallas:
+        from .pallas_scan import first_pass_topc
+
+        d, i = first_pass_topc(q, x16, x_sq, valid, metric=metric, c=k,
+                               ascending=ascending)
+        return _pack_ids(d, i)
     scores = _bf16_scores(q, x16, x_sq, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
     return _pack_ids(d, i)
@@ -554,6 +570,9 @@ class DeviceCorpus:
         self._transforms: dict[Metric, dict] = {}
         self._dirty = True
         self._dirty_lo = 0
+        # rows scored by the most recent search dispatch (QueryProfile's
+        # scanned_vectors, reference engine.rs:6906)
+        self.last_scanned = 0
 
     # ── mesh sharding helpers ────────────────────────────────────────────
 
@@ -836,6 +855,13 @@ class DeviceCorpus:
 
     # ── search entry points ──────────────────────────────────────────────
 
+    def _use_pallas(self) -> bool:
+        """Fused Pallas first pass (LYNSE_TPU_PALLAS=1): single-chip TPU
+        only — the mesh path relies on XLA SPMD partitioning the XLA scan."""
+        from .pallas_scan import use_pallas
+
+        return use_pallas() and self.mesh is None
+
     def _shortlist_size(self, k: int, limit: int, oversample: int = 4) -> int:
         c = max(64, oversample * k) if k <= 64 else (
             2 * k if k <= 512 else int(1.25 * k))
@@ -913,6 +939,7 @@ class DeviceCorpus:
         ascending = metric.ascending
         if handle is not None and handle.use_gather(self.n):
             c = self._shortlist_size(k, handle.count, oversample)
+            self.last_scanned = handle.count + c
             idx, idx_valid = handle.device_indices(self.n, self.epoch, self._rows_sharding(1))
             packed = bf16_gather_pass_packed(
                 qd, self._dev16, idx, idx_valid, self.bf16_norms(),
@@ -930,10 +957,11 @@ class DeviceCorpus:
             return resolve_gather
 
         c = self._shortlist_size(k, self.n, oversample)
+        self.last_scanned = self.n + c  # full first pass + exact rescore rows
         valid = self.valid_mask(handle)
         packed = bf16_pass_packed(
             qd, self._dev16, self.bf16_norms(), valid,
-            metric=metric, k=c, ascending=ascending,
+            metric=metric, k=c, ascending=ascending, pallas=self._use_pallas(),
         )
 
         def resolve():
@@ -967,6 +995,7 @@ class DeviceCorpus:
         packed = bf16_pass_packed_window(
             qblock_dev, jnp.int32(start), self._dev16, self.bf16_norms(), valid,
             metric=metric, k=c, ascending=metric.ascending, window=window,
+            pallas=self._use_pallas(),
         )
 
         def resolve(q_rows: np.ndarray):
@@ -997,6 +1026,7 @@ class DeviceCorpus:
             if handle.indices is None:
                 handle.indices = np.nonzero(handle.mask[: self.n])[0].astype(np.int32)
             idx = handle.indices
+            self.last_scanned = len(idx)
 
             def resolve_gather():
                 sub = self._host[idx]  # (S, D)
@@ -1031,6 +1061,7 @@ class DeviceCorpus:
             return resolve_gather
 
         c = self._shortlist_size(k, self.n, oversample)
+        self.last_scanned = self.n + c
         block_rows = self._stream_block_rows(b)
         chunk = min(ELEMWISE_CHUNK, block_rows)
         qd = jnp.asarray(q)
@@ -1075,6 +1106,7 @@ class DeviceCorpus:
 
     def _exact_submit(self, q: np.ndarray, k: int, metric: Metric, handle):
         """One-pass f32 exact scan (reference parity path)."""
+        self.last_scanned = self.n  # masked scans still touch every row
         ct = self.transform(metric)
         valid = self.valid_mask(handle)
         chunk = scan_chunk_size(metric, self.n_pad, q.shape[0])
@@ -1255,15 +1287,13 @@ def decode_packed(packed_np: np.ndarray, k: int, metric: Metric):
 
 
 def _trim_results(dists: np.ndarray, ids: np.ndarray, keep: np.ndarray, k: int):
-    """Compact each row's surviving entries (order-preserving)."""
-    b = dists.shape[0]
+    """Compact each row's surviving entries (order-preserving, vectorized —
+    a per-row Python loop here cost ~10 ms at B=256 on a 1-core host)."""
     counts = keep.sum(axis=1)
     width = int(counts.max(initial=0))
-    out_d = np.zeros((b, width), dtype=np.float32)
-    out_i = np.full((b, width), -1, dtype=np.int64)
-    for r in range(b):
-        m = keep[r]
-        c = int(counts[r])
-        out_d[r, :c] = dists[r, m]
-        out_i[r, :c] = ids[r, m]
+    # stable partition: kept entries first, original order preserved
+    order = np.argsort(~keep, axis=1, kind="stable")[:, :width]
+    live = np.arange(width)[None, :] < counts[:, None]
+    out_d = np.where(live, np.take_along_axis(dists, order, axis=1), 0.0).astype(np.float32)
+    out_i = np.where(live, np.take_along_axis(ids, order, axis=1), -1).astype(np.int64)
     return out_d, out_i

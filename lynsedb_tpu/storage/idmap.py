@@ -39,8 +39,22 @@ class IdMap:
         self.log_path = self.root / "idmap.log"
         self._fwd: dict = {}  # external -> internal
         self._rev: dict[int, object] = {}  # internal -> external
-        self._load()
+        # Parsing a million-entry snapshot costs ~300 ms; open defers it so
+        # embedded startup stays milliseconds (the reference's 2 ms startup
+        # is the same lazy-open design — first use pays the load instead).
+        self._loaded = False
+        self._pending_truncate: int | None = None
         self._log_fh = open(self.log_path, "ab")
+
+    def _ensure(self) -> None:
+        if self._loaded:
+            return
+        self._loaded = True
+        self._load()
+        if self._pending_truncate is not None:
+            b = self._pending_truncate
+            self._pending_truncate = None
+            self.truncate_internal_at_or_above(b)
 
     def _load(self) -> None:
         if self.snapshot_path.exists():
@@ -78,6 +92,7 @@ class IdMap:
     # ── API ──────────────────────────────────────────────────────────────
 
     def insert(self, eid, iid: int) -> None:
+        self._ensure()
         eid = normalize_external_id(eid)
         self._fwd[eid] = iid
         self._rev[iid] = eid
@@ -86,6 +101,7 @@ class IdMap:
     def insert_many(self, eids, start_iid: int) -> None:
         """Bulk insert of contiguous internal ids; a single range log record
         (op=2) instead of one record per id."""
+        self._ensure()
         eids = [normalize_external_id(e) for e in eids]
         for off, eid in enumerate(eids):
             iid = start_iid + off
@@ -96,26 +112,32 @@ class IdMap:
         self._log_fh.flush()
 
     def remove(self, eid) -> None:
+        self._ensure()
         iid = self._fwd.pop(eid, None)
         if iid is not None:
             self._rev.pop(iid, None)
             self._log(1, eid, iid)
 
     def get_internal(self, eid):
+        self._ensure()
         return self._fwd.get(eid)
 
     def get_external(self, iid: int):
+        self._ensure()
         return self._rev.get(iid)
 
     def __contains__(self, eid) -> bool:
+        self._ensure()
         return eid in self._fwd
 
     def __len__(self) -> int:
+        self._ensure()
         return len(self._fwd)
 
     def max_int_id(self) -> int:
         """Largest integer external id (-1 when none); used for auto-ID
         assignment (reference: LocalCollection.add start_id logic)."""
+        self._ensure()
         best = -1
         for eid in self._fwd:
             if isinstance(eid, int) and eid > best:
@@ -123,10 +145,19 @@ class IdMap:
         return best
 
     def items(self):
+        self._ensure()
         return self._fwd.items()
 
     def truncate_internal_at_or_above(self, boundary: int) -> None:
-        """Drop mappings to internal ids >= boundary (rollback/recovery)."""
+        """Drop mappings to internal ids >= boundary (rollback/recovery).
+        Before the lazy load has run this only records the boundary; the
+        load applies it (the common clean-open case never parses eagerly)."""
+        if not self._loaded:
+            self._pending_truncate = (
+                boundary if self._pending_truncate is None
+                else min(self._pending_truncate, boundary)
+            )
+            return
         drop = [(eid, iid) for eid, iid in self._fwd.items() if iid >= boundary]
         for eid, iid in drop:
             self._fwd.pop(eid, None)
@@ -136,6 +167,7 @@ class IdMap:
         """Compact the delta log into the snapshot."""
         from .vector_store import write_atomic
 
+        self._ensure()
         data = msgpack.packb(list(self._fwd.items()), use_bin_type=True)
         write_atomic(self.snapshot_path, data)
         self._log_fh.close()

@@ -423,3 +423,25 @@ def test_concurrent_searches_and_writes_are_safe(db, rng):
     deleted = set(range(0, 30, 3))
     assert not (deleted & set(int(x) for x in res.ids))
     assert coll._engine.n_rows == 2500
+
+
+def test_profile_scanned_vectors_honest(db, rng):
+    """scanned_vectors reports rows whose distances were actually computed
+    per path (reference engine.rs:6906), not the filter-subset size."""
+    data = rng.normal(size=(6000, 16)).astype(np.float32)
+    coll = db.require_collection("prof_scan", dim=16, drop_if_exists=True, default_index=None)
+    coll.add(list(range(6000)), vectors=data, fields=[{"g": i % 3} for i in range(6000)])
+    coll.commit()
+
+    prof = coll.search_profile(data[0], k=5)
+    assert prof["scanned_vectors"] >= 6000  # full first pass (+ shortlist)
+
+    coll.build_index("IVF-L2", n_clusters=32)
+    prof = coll.search_profile(data[0], k=5, nprobe=4)
+    assert prof["index_path"] == "ivf"
+    assert 0 < prof["scanned_vectors"] < 6000  # probed clusters only
+
+    coll.build_index("HNSW-L2")
+    prof = coll.search_profile(data[0], k=5, nprobe=48)
+    assert prof["index_path"] == "hnsw"
+    assert 0 < prof["scanned_vectors"] < 6000  # visited nodes only

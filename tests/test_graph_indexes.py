@@ -31,7 +31,7 @@ def test_beam_search_on_exact_graph(rng):
     x = rng.normal(size=(n, d)).astype(np.float32)
     graph = exact_knn_graph(jnp.asarray(x), Metric.L2, 12)
     q = rng.normal(size=(4, d)).astype(np.float32)
-    keys, ids = beam_search(
+    keys, ids, _scanned = beam_search(
         jnp.asarray(q), jnp.asarray(x), jnp.asarray(graph),
         jnp.asarray([0], dtype=jnp.int32), jnp.ones(n, dtype=bool),
         metric=Metric.L2, beam=48, max_steps=96, k=10,
@@ -51,7 +51,7 @@ def test_vamana_build_and_search(rng):
     # no self loops
     assert not any(graph[i].tolist().count(i) for i in range(0, n, 97))
     q = rng.normal(size=(8, d)).astype(np.float32)
-    keys, ids = beam_search(
+    keys, ids, _scanned = beam_search(
         jnp.asarray(q), jnp.asarray(x), jnp.asarray(graph),
         jnp.asarray([0], dtype=jnp.int32), jnp.ones(n, dtype=bool),
         metric=Metric.L2, beam=64, max_steps=128, k=10,

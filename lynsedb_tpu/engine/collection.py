@@ -775,16 +775,13 @@ class Collection:
 
         ``window=None`` auto-sizes: the per-dispatch-chain cost (host sync +
         transport) dominates small windows while the fused scan's device
-        time barely moves with window size, so the stream targets <= 2
-        chains, capped at 64 and bucketed to powers of two to bound compile
-        shapes."""
+        time barely moves with window size (a full-corpus B=256 scan is
+        ~2 ms on-chip, benchmarks/tpu_probe_r03.log), so streams use just
+        TWO window shapes — 16 for short streams, 128 otherwise — keeping
+        the chain count minimal and the compiled-executable set tiny."""
         q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
         if window is None:
-            window = 64
-            for w in (8, 16, 32):
-                if len(q) <= 2 * w:
-                    window = w
-                    break
+            window = 16 if len(q) <= 32 else 128
         if self._index is not None or self._aux_index is not None or self.n_rows == 0:
             return [self.search(q[i], k, where=where) for i in range(len(q))]
         with self._lock:

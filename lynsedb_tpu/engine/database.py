@@ -82,6 +82,8 @@ class DatabaseEngine:
     ) -> Collection:
         validate_resource_name(name)
         with self._lock:
+            if self.read_only and not self.collection_exists(name):
+                raise ReadOnly("database is read-only: cannot create collection")
             if drop_if_exists:
                 self.drop_collection(name)
             coll = self._collections.get(name)

@@ -63,6 +63,21 @@ TWO_PASS_MIN_ROWS = 4096
 # this selective is gathered into a compact block instead of masked-scanned.
 GATHER_MAX_ROWS = 100_000
 
+# Query batches are padded up to one of these sizes so every batch shape in
+# [1, 256] reuses one of THREE compiled executables. The device cost of the
+# padding is noise (a full-corpus scan at B=16 costs the same HBM pass as
+# B=1), but each *distinct* shape costs a full server-side compile on first
+# execution (~45-200 s through the dev tunnel; measured in
+# benchmarks/warmup_probe_r03.log) and a recompile on real hardware too.
+BATCH_BUCKETS = (16, 64, 256)
+
+
+def _batch_bucket(b: int) -> int:
+    for s in BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return b
+
 # Host mirrors larger than this spill to disk-backed memmaps (the OS pages
 # them), lifting the host-RAM bound on corpus size the same way the
 # reference's mmap storage does (flat_mmap.rs:89).
@@ -879,8 +894,33 @@ class DeviceCorpus:
     ) -> Callable[[], tuple[np.ndarray, np.ndarray]]:
         """Dispatch a search asynchronously; returns a zero-arg resolver
         performing the (single) host sync + exact rescore. This is the
-        pipelining primitive behind search_stream."""
+        pipelining primitive behind search_stream.
+
+        Batches are padded to a BATCH_BUCKETS size so the whole [1, 256]
+        range shares three compiled executables (see _batch_bucket)."""
         q = np.ascontiguousarray(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        b = q.shape[0]
+        bucket = _batch_bucket(b)
+        if bucket != b:
+            # keep the padded batch within the score-matrix budget so
+            # bucketing never triggers the oversized-batch split below
+            max_b = max(1, SINGLE_SHOT_BUDGET // max(self.n_pad, 1)) if self.n else bucket
+            bucket = min(bucket, max(max_b, b))
+        if bucket != b:
+            qp = np.concatenate([q, np.zeros((bucket - b, q.shape[1]), q.dtype)])
+            inner = self._submit_impl(qp, k, metric, filter_mask, mode, oversample)
+            return lambda: tuple(a[:b] for a in inner())
+        return self._submit_impl(q, k, metric, filter_mask, mode, oversample)
+
+    def _submit_impl(
+        self,
+        q: np.ndarray,
+        k: int,
+        metric: Metric,
+        filter_mask=None,
+        mode: str = "auto",
+        oversample: int = 4,
+    ) -> Callable[[], tuple[np.ndarray, np.ndarray]]:
         b = q.shape[0]
         if self.n == 0:
             empty = (np.zeros((b, 0), dtype=np.float32), np.zeros((b, 0), dtype=np.int64))

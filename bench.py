@@ -135,7 +135,7 @@ def main() -> None:
 
         # ── batched throughput (amortized HBM reads; fresh queries per rep
         #    so transport-level memoization can't flatter the numbers) ─────
-        for batch in (16, 64, 256):
+        for batch in (16, 64, 256, 1024):
             coll.batch_search(queries[:batch] if batch <= N_QUERIES else
                               np.tile(queries, (batch // N_QUERIES + 1, 1))[:batch], k=K)
             reps = 5
@@ -166,7 +166,7 @@ def main() -> None:
             coll2.search(queries[i], k=K, where="bucket = 3")
         filt_ms = (time.perf_counter() - t0) / 20 * 1e3
         log(f"filtered search 1M/100k sequential: {filt_ms:.3f} ms")
-        coll2.search_stream(queries[:32], k=K, where="bucket = 3")
+        coll2.search_stream(queries[:96], k=K, where="bucket = 3")  # warm (same shape)
         t0 = time.perf_counter()
         coll2.search_stream(queries[:96], k=K, where="bucket = 3")
         filt_stream_ms = (time.perf_counter() - t0) / 96 * 1e3

@@ -758,6 +758,35 @@ class Collection:
                 self._search_cache.put(cache_key, out)
             return out
 
+    def _flat_search_submit(self, vector, k: int, where: Optional[str]):
+        """Async flat-path single-query dispatch: returns a zero-arg resolver
+        producing a SearchResult, or None when an index path (or empty
+        collection) makes the synchronous path the right one. Used by
+        hybrid_search to overlap device scan with host BM25."""
+        if self._index is not None or self._aux_index is not None or self.n_rows == 0:
+            return None
+        with self._lock:
+            q = np.atleast_2d(np.asarray(vector, dtype=np.float32))
+            if self.dim is not None and q.shape[1] != self.dim:
+                raise DimensionMismatch(f"query dim {q.shape[1]} != collection dim {self.dim}")
+            metric = self.metric
+            if not metric.accepts_dimension(q.shape[1]):
+                raise InvalidArgument(f"metric {metric.value} rejects dim {q.shape[1]}")
+            handle = self.resolve_filter(where)
+            corpus = self.corpus()
+            resolver = corpus.search_submit(q, k, metric, filter_mask=handle)
+
+        def resolve() -> SearchResult:
+            dists, ids = resolver()
+            return SearchResult(
+                ids=ids[0],
+                distances=dists[0],
+                distance_metric=metric.display_name,
+                index_type=self.index_type,
+            )
+
+        return resolve
+
     def search_stream(
         self,
         vectors,
@@ -1221,12 +1250,24 @@ class Collection:
                     contribution = weight / (max(rrf_k, 1.0) + rank + 1.0)
                 fused[int(iid)] = fused.get(int(iid), 0.0) + contribution
 
+        # dispatch the vector scan asynchronously when the flat path applies,
+        # so the BM25 host scoring overlaps the device scan (the reference
+        # runs both serially on CPU, engine.rs:5079 hybrid_search)
+        vres = None
+        v_resolver = None
         if vector is not None:
-            vres = self.search(vector, candidate_limit, where=where, nprobe=nprobe)
-            add_scores(vres.ids, _normalize_scores(vres.distances, self.metric.ascending),
-                       vector_weight)
+            v_resolver = self._flat_search_submit(vector, candidate_limit, where)
+            if v_resolver is None:
+                vres = self.search(vector, candidate_limit, where=where, nprobe=nprobe)
+        tres = None
         if query_text and str(query_text).strip():
             tres = self.text_search(query_text, candidate_limit, text_fields=text_fields, where=where)
+        if v_resolver is not None:
+            vres = v_resolver()
+        if vres is not None:
+            add_scores(vres.ids, _normalize_scores(vres.distances, self.metric.ascending),
+                       vector_weight)
+        if tres is not None:
             add_scores(tres.ids, _normalize_scores(tres.distances, False), text_weight)
 
         ranked = sorted(fused.items(), key=lambda p: (-p[1], p[0]))[:k]

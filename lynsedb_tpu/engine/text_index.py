@@ -208,6 +208,11 @@ class InvertedTextIndex:
     # instead; the reference gets the same effect from compiled Rust
     # (engine.rs:5200 bm25_text_scores).
 
+    # terms with postings at least this long get their arrays precomputed at
+    # version change (Zipf head: few terms, most of the fromiter cost) so
+    # first queries never pay the heavy builds in the hot path
+    _PRECOMPUTE_POSTINGS = 4096
+
     def _ensure_arrays(self) -> None:
         if self._arr_version == self._version:
             return
@@ -218,18 +223,24 @@ class InvertedTextIndex:
         self._len_arr = la
         self._total_len = float(la.sum())
         self._term_arrays = {}
+        for term, posting in self.postings.items():
+            if len(posting) >= self._PRECOMPUTE_POSTINGS:
+                self._term_arrays[term] = self._build_term_arr(posting)
         self._arr_version = self._version
+
+    @staticmethod
+    def _build_term_arr(posting: dict) -> tuple[np.ndarray, np.ndarray]:
+        iids = np.fromiter(posting.keys(), dtype=np.int64, count=len(posting))
+        tfs = np.fromiter(
+            (sum(f.values()) for f in posting.values()),
+            dtype=np.float32, count=len(posting),
+        )
+        return iids, tfs
 
     def _term_arr(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         arr = self._term_arrays.get(term)
         if arr is None:
-            posting = self.postings.get(term, {})
-            iids = np.fromiter(posting.keys(), dtype=np.int64, count=len(posting))
-            tfs = np.fromiter(
-                (sum(f.values()) for f in posting.values()),
-                dtype=np.float32, count=len(posting),
-            )
-            arr = (iids, tfs)
+            arr = self._build_term_arr(self.postings.get(term, {}))
             self._term_arrays[term] = arr
         return arr
 

@@ -948,13 +948,17 @@ class DeviceCorpus:
             return self._exact_submit(q, k, metric, handle)
 
         # keep the (B, N) first-pass score block within the HBM budget by
-        # splitting oversized query batches host-side
+        # splitting oversized query batches host-side; parts use the largest
+        # batch bucket that fits so every part reuses a bucketed executable
+        # and the parts' dispatch chains overlap (all are submitted before
+        # any is resolved)
         max_b = max(1, SINGLE_SHOT_BUDGET // max(self.n_pad, 1))
         if b > max_b:
+            step = max([s for s in BATCH_BUCKETS if s <= max_b], default=max_b)
             resolvers = [
-                self.search_submit(q[s : s + max_b], k, metric, filter_mask,
+                self.search_submit(q[s : s + step], k, metric, filter_mask,
                                    mode=mode, oversample=oversample)
-                for s in range(0, b, max_b)
+                for s in range(0, b, step)
             ]
 
             def resolve_parts():
@@ -1166,7 +1170,9 @@ class DeviceCorpus:
         (score, id) ordering, trim to k."""
         b, c = ids.shape
         safe = np.where(keep, ids, 0)
-        rows = self._host[safe]  # (B, C, D) host gather
+        # flat 1-D gather then reshape: numpy's 2-D fancy indexing runs ~3.5x
+        # slower than the flattened equivalent on large mirrors
+        rows = self._host[safe.ravel()].reshape(b, c, self.dim)
         if metric in TWO_PASS_METRICS:
             exact = host_exact_scores(q, rows, metric)
         else:  # elementwise metrics rescore on device (lanes live there)
@@ -1302,11 +1308,13 @@ class DeviceCorpus:
             ids = np.broadcast_to(ids, (q.shape[0], ids.shape[0]))
         valid = ids >= 0
         safe = np.where(valid, ids, 0)
+        # flat 1-D gather then reshape (2-D fancy indexing is ~3.5x slower)
+        host_rows = lambda: self._host[safe.ravel()].reshape(safe.shape + (self.dim,))  # noqa: E731
         if metric in TWO_PASS_METRICS:
-            exact = host_exact_scores(q, self._host[safe], metric)
+            exact = host_exact_scores(q, host_rows(), metric)
             return np.where(valid, exact, np.nan)
         if self.streaming:
-            rows = jnp.asarray(self._host[safe])
+            rows = jnp.asarray(host_rows())
         else:
             rows = self._data[jnp.asarray(safe.astype(np.int32))].astype(jnp.float32)
         vd = jnp.asarray(valid)

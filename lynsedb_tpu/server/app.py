@@ -25,7 +25,8 @@ from ..storage.dtype import decode_f32
 from aiohttp import web
 
 from ..engine.database import DatabaseManager
-from ..engine.errors import CollectionNotFound, DatabaseNotFound, InvalidArgument
+from ..engine.errors import (CollectionNotFound, DatabaseNotFound,
+                             DimensionMismatch, InvalidArgument)
 from .metrics import HttpMetrics
 
 logger = logging.getLogger("lynsedb_tpu.server")
@@ -108,9 +109,18 @@ class LynseServer:
             else:
                 try:
                     resp = await handler(request)
-                except (InvalidArgument, ValueError) as e:
+                except web.HTTPException as e:
+                    # router-level responses (404 unknown route, 405, ...)
+                    # are real statuses, not handler crashes
+                    self.metrics.observe_error(f"http_{e.status}")
+                    resp = _error(e.reason or "http error", e.status)
+                except (InvalidArgument, DimensionMismatch, ValueError) as e:
                     self.metrics.observe_error("invalid_argument")
                     resp = _error(str(e), 400)
+                except KeyError as e:
+                    # missing required body field = malformed request
+                    self.metrics.observe_error("invalid_argument")
+                    resp = _error(f"missing required field: {e}", 400)
                 except (CollectionNotFound, DatabaseNotFound) as e:
                     self.metrics.observe_error("not_found")
                     resp = _error(str(e), 404)

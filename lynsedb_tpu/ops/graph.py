@@ -319,26 +319,32 @@ def build_vamana(
     alpha_pass = [1.0] * (passes - 1) + [alpha]
 
     order = rng.permutation(n)
+    graph_dev = jnp.asarray(graph)  # device-resident copy, delta-updated
     for p in range(passes):
         for i in range(0, n, batch):
             ids = order[i : i + batch]
-            _link_points_batch(graph, ids, corpus_rows, starts, valid,
-                               metric=metric, r=r, l_build=l_build,
-                               alpha=alpha_pass[p], batch=batch)
+            graph_dev = _link_points_batch(
+                graph, graph_dev, ids, corpus_rows, starts, valid,
+                metric=metric, r=r, l_build=l_build,
+                alpha=alpha_pass[p], batch=batch)
     return graph
 
 
-def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
-                       starts, valid, *, metric: Metric, r: int, l_build: int,
-                       alpha: float, batch: int) -> None:
+def _link_points_batch(graph: np.ndarray, graph_dev, ids: np.ndarray,
+                       corpus_rows, starts, valid, *, metric: Metric, r: int,
+                       l_build: int, alpha: float, batch: int):
     """Link one batch of points into the graph: batched beam search for
     candidates, alpha robust-prune for the points' own lists, reverse edges
     into the chosen neighbors with overflow re-prune (reference:
-    diskann.rs:1084 parallel build step / :1496 in-place insert)."""
+    diskann.rs:1084 parallel build step / :1496 in-place insert).
+
+    ``graph_dev`` is the device-resident adjacency; only the rows this batch
+    mutates are scattered back (re-uploading the whole (N, R) graph per batch
+    was ~128 MB x ~2000 batches at 1M rows — the entire build cost).
+    Returns the updated ``graph_dev``."""
     ids = np.asarray(ids, dtype=np.int64)
     pad = batch - len(ids)
     q_ids = np.concatenate([ids, np.zeros(pad, dtype=ids.dtype)]) if pad > 0 else ids
-    graph_dev = jnp.asarray(graph)
     q = corpus_rows[jnp.asarray(q_ids)]
     keys, cands, _ = beam_search(
         q, corpus_rows, graph_dev, starts, valid,
@@ -359,6 +365,7 @@ def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
     # reverse edges: the point joins each chosen neighbor's list; nodes whose
     # lists overflow get a batched alpha re-prune (reference keeps graphs
     # healthy the same way: prune on overflow, diskann.rs)
+    touched: set[int] = set(int(x) for x in ids)
     overflow: dict[int, list[int]] = {}
     placed: set[int] = set()
     for row_i, point in enumerate(ids):
@@ -369,10 +376,12 @@ def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
             if len(free):
                 graph[nbr, free[0]] = point
                 placed.add(int(point))
+                touched.add(int(nbr))
             else:
                 overflow.setdefault(int(nbr), []).append(int(point))
     if overflow:
         _reprune_nodes(graph, overflow, corpus_rows, metric, alpha, r)
+        touched.update(overflow.keys())
         for node, reqs in overflow.items():
             survivors = set(int(x) for x in graph[node] if x >= 0)
             placed.update(req for req in reqs if req in survivors)
@@ -386,6 +395,15 @@ def _link_points_batch(graph: np.ndarray, ids: np.ndarray, corpus_rows,
         nearest = next((int(x) for x in pruned[row_i] if x >= 0), -1)
         if nearest >= 0:
             graph[nearest, r - 1] = point
+            touched.add(nearest)
+    # scatter only the mutated rows into the device copy, padded to a
+    # bucketed count (duplicate indices re-set the same values — harmless)
+    # so the scatter compiles for a handful of shapes, not one per batch
+    rows = np.fromiter(touched, dtype=np.int64, count=len(touched))
+    size = max(((len(rows) + 8191) // 8192) * 8192, 8192)
+    if size != len(rows):
+        rows = np.concatenate([rows, np.full(size - len(rows), rows[0], dtype=np.int64)])
+    return graph_dev.at[jnp.asarray(rows)].set(jnp.asarray(graph[rows]))
 
 
 def insert_points(graph: np.ndarray, new_ids: np.ndarray, corpus_rows,
@@ -400,10 +418,12 @@ def insert_points(graph: np.ndarray, new_ids: np.ndarray, corpus_rows,
         grown[: graph.shape[0]] = graph
         graph = grown
     valid = jnp.asarray(live_mask[:n_new_total])
+    graph_dev = jnp.asarray(graph)
     for i in range(0, len(new_ids), batch):
-        _link_points_batch(graph, new_ids[i : i + batch], corpus_rows, starts,
-                           valid, metric=metric, r=r, l_build=l_build,
-                           alpha=alpha, batch=min(batch, 1024))
+        graph_dev = _link_points_batch(
+            graph, graph_dev, new_ids[i : i + batch], corpus_rows, starts,
+            valid, metric=metric, r=r, l_build=l_build,
+            alpha=alpha, batch=min(batch, 1024))
     return graph
 
 

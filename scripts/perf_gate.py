@@ -32,9 +32,10 @@ INGEST_RELATIVE_BUDGET = 0.5
 # metric name -> (regex over bench stderr, higher_is_better)
 METRICS = {
     "ingest_vec_s": (re.compile(r"ingest: .* = ([\d,]+) vec/s"), True),
-    "pipelined_ms": (re.compile(r"pipelined search \(window=16\): mean ([\d.]+) ms"), False),
-    "filtered_pipelined_ms": (re.compile(r"filtered search pipelined .*: ([\d.]+) ms"), False),
+    "pipelined_ms": (re.compile(r"pipelined search \(auto window\): mean ([\d.]+) ms"), False),
+    "filtered_pipelined_ms": (re.compile(r"filtered search .* pipelined: ([\d.]+) ms"), False),
     "batch64_qps": (re.compile(r"batch_search B=64: .* = ([\d,]+) QPS"), True),
+    "batch256_qps": (re.compile(r"batch_search B=256: .* = ([\d,]+) QPS"), True),
     "recall_at_10": (re.compile(r"recall@10 vs exact ground truth: ([\d.]+)"), True),
 }
 
@@ -57,6 +58,12 @@ def run_bench() -> dict:
         if m:
             out[name] = float(m.group(1).replace(",", ""))
     out["bench_n"] = int(env["BENCH_N"])
+    try:
+        import jax
+
+        out["platform"] = jax.default_backend()
+    except Exception:
+        out["platform"] = "unknown"
     return out
 
 
@@ -77,6 +84,11 @@ def main() -> None:
     if baseline.get("bench_n") != current.get("bench_n"):
         print(f"baseline bench_n {baseline.get('bench_n')} != current {current.get('bench_n')}; "
               "rerun with matching BENCH_N or --update", file=sys.stderr)
+        raise SystemExit(2)
+    if baseline.get("platform") and baseline["platform"] != current.get("platform"):
+        print(f"baseline platform {baseline['platform']!r} != current "
+              f"{current.get('platform')!r}; the comparison would mix hardware — "
+              "rerun on the baseline's platform or --update", file=sys.stderr)
         raise SystemExit(2)
 
     failures = []

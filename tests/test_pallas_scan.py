@@ -76,7 +76,7 @@ def test_pallas_respects_valid_mask(rng):
 def test_pallas_matches_xla_two_pass_selection(rng):
     """Same shortlist behavior as the XLA first pass feeding the exact
     rescore: after rescoring, both paths must produce the same top-10."""
-    from lynsedb_tpu.ops.scan import bf16_pass_packed, unpack_search_step
+    from lynsedb_tpu.ops.scan import bf16_pass_ids
 
     q, x16, x_sq, valid, x = _setup(rng, b=3)
     c = 64
@@ -84,11 +84,10 @@ def test_pallas_matches_xla_two_pass_selection(rng):
         jnp.asarray(q), jnp.asarray(x16), jnp.asarray(x_sq), jnp.asarray(valid),
         metric=Metric.IP, c=c, ascending=False, interpret=True,
     )
-    packed = bf16_pass_packed(
+    i_x = np.asarray(bf16_pass_ids(
         jnp.asarray(q), jnp.asarray(x16), jnp.asarray(x_sq), jnp.asarray(valid),
         metric=Metric.IP, k=c, ascending=False,
-    )
-    _, i_x = unpack_search_step(np.asarray(packed))
+    )).astype(np.int64)
     exact = q @ x.T
     for row in range(3):
         top_p = np.asarray(i_p)[row][np.argsort(-exact[row, np.asarray(i_p)[row]])[:10]]

@@ -4,7 +4,7 @@ Reference match: src/storage/flat_mmap.rs:1173 exact_flat_search /
 :4876 fused_topk_parallel — the reference fuses its SIMD distance loop with
 per-thread top-k so candidate distances never round-trip through memory.
 
-The XLA path (ops/scan.py bf16_pass_packed) materializes the (B, N) score
+The XLA path (ops/scan.py bf16_pass_ids) materializes the (B, N) score
 matrix to HBM between the matmul and the top-k: on-device loop timings at
 1M x 128 / B=256 show ~1.9 ms/scan, which is ~745 GB/s of aggregate HBM
 traffic (corpus read + score write + score read) — bandwidth-bound on the

@@ -271,8 +271,20 @@ def _bf16_scores(q: jnp.ndarray, x16: jnp.ndarray, x_sq: jnp.ndarray, metric: Me
     return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
 
 
+def _shortlist_ids(d: jnp.ndarray, i: jnp.ndarray, ascending: bool) -> jnp.ndarray:
+    """(B, C) int32 shortlist with invalid slots as -1. The first pass's
+    proxy distances are used ONLY as a validity signal (the exact scores
+    come from the host-mirror rescore), so fetching ids alone cuts the
+    device->host transfer to a third of the packed layout."""
+    keyed = -d if ascending else d
+    return jnp.where(keyed > NEG_INF_F32, i.astype(jnp.int32), jnp.int32(-1))
+
+
+NEG_INF_F32 = jnp.float32(-jnp.inf)
+
+
 @partial(jax.jit, static_argnames=("metric", "k", "ascending", "pallas"))
-def bf16_pass_packed(
+def bf16_pass_ids(
     q: jnp.ndarray,
     x16: jnp.ndarray,
     x_sq: jnp.ndarray,
@@ -283,23 +295,23 @@ def bf16_pass_packed(
     ascending: bool,
     pallas: bool = False,
 ) -> jnp.ndarray:
-    """Single-dispatch bf16 first pass over the full corpus: packed (B, 3k).
-    Shortlist selection rides approx_max_k (exact host rescore follows).
-    ``pallas=True`` swaps in the fused one-HBM-pass Pallas kernel
-    (LYNSE_TPU_PALLAS=1; see ops/pallas_scan.py)."""
+    """Single-dispatch bf16 first pass over the full corpus: (B, C) int32
+    shortlist ids, invalid slots -1. Shortlist selection rides approx_max_k
+    (exact host rescore follows). ``pallas=True`` swaps in the fused
+    one-HBM-pass Pallas kernel (LYNSE_TPU_PALLAS=1; see ops/pallas_scan.py)."""
     if pallas:
         from .pallas_scan import first_pass_topc
 
         d, i = first_pass_topc(q, x16, x_sq, valid, metric=metric, c=k,
                                ascending=ascending)
-        return _pack_ids(d, i)
+        return _shortlist_ids(d, i, ascending)
     scores = _bf16_scores(q, x16, x_sq, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
-    return _pack_ids(d, i)
+    return _shortlist_ids(d, i, ascending)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "ascending", "window", "pallas"))
-def bf16_pass_packed_window(
+def bf16_pass_ids_window(
     qblock: jnp.ndarray,
     start: jnp.ndarray,
     x16: jnp.ndarray,
@@ -314,21 +326,21 @@ def bf16_pass_packed_window(
 ) -> jnp.ndarray:
     """Streaming variant: the query stream is uploaded once as ``qblock``
     and each window slices it on device — one H2D per stream instead of one
-    per window."""
+    per window. Returns (window, C) int32 shortlist ids (invalid -1)."""
     q = jax.lax.dynamic_slice(qblock, (start, 0), (window, qblock.shape[1]))
     if pallas:
         from .pallas_scan import first_pass_topc
 
         d, i = first_pass_topc(q, x16, x_sq, valid, metric=metric, c=k,
                                ascending=ascending)
-        return _pack_ids(d, i)
+        return _shortlist_ids(d, i, ascending)
     scores = _bf16_scores(q, x16, x_sq, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
-    return _pack_ids(d, i)
+    return _shortlist_ids(d, i, ascending)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "ascending"))
-def bf16_gather_pass_packed(
+def bf16_gather_pass_ids(
     q: jnp.ndarray,
     x16: jnp.ndarray,
     idx: jnp.ndarray,
@@ -342,14 +354,15 @@ def bf16_gather_pass_packed(
 ) -> jnp.ndarray:
     """Gather-then-scan first pass: only the ``idx`` rows (S_pad of them,
     padded with idx_valid=False) are scored. ``base_valid`` carries the
-    in-range/tombstone mask of the full corpus. Returned ids are LOCAL
-    subset positions; the caller maps them back through its index list."""
+    in-range/tombstone mask of the full corpus. Returns (B, C) int32 LOCAL
+    subset positions (invalid -1); the caller maps them back through its
+    index list."""
     rows = jnp.take(x16, idx, axis=0)  # (S_pad, D) device gather
     row_sq = jnp.take(x_sq, idx, axis=0)
     ok = idx_valid & jnp.take(base_valid, idx, axis=0)
     scores = _bf16_scores(q, rows, row_sq, metric)
     d, i = masked_top_c(scores, k, ascending, ok)
-    return _pack_ids(d, i)
+    return _shortlist_ids(d, i, ascending)
 
 
 @partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))
@@ -396,7 +409,7 @@ def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
                    *, metric: Metric, k: int, chunk: int):
     """Chunked approximate top-k over a bf16 corpus copy for the L1 family
     (elementwise lanes upcast per chunk in-register). The matmul family uses
-    :func:`bf16_pass_packed` instead."""
+    :func:`bf16_pass_ids` instead."""
     n_pad = x_bf16.shape[0]
     ascending = metric.ascending
 
@@ -985,15 +998,15 @@ class DeviceCorpus:
             c = self._shortlist_size(k, handle.count, oversample)
             self.last_scanned = handle.count + c
             idx, idx_valid = handle.device_indices(self.n, self.epoch, self._rows_sharding(1))
-            packed = bf16_gather_pass_packed(
+            out = bf16_gather_pass_ids(
                 qd, self._dev16, idx, idx_valid, self.bf16_norms(),
                 self.valid_mask(), metric=metric, k=c, ascending=ascending,
             )
             subset = handle.indices
 
             def resolve_gather():
-                proxy, local = unpack_search_step(np.asarray(packed))
-                keep = _keep_mask(proxy, ascending)
+                local = np.asarray(out).astype(np.int64)
+                keep = local >= 0
                 local = np.clip(local, 0, len(subset) - 1)
                 ids = subset[local].astype(np.int64)
                 return self._rescore_topk(q, ids, keep, metric, k)
@@ -1003,15 +1016,14 @@ class DeviceCorpus:
         c = self._shortlist_size(k, self.n, oversample)
         self.last_scanned = self.n + c  # full first pass + exact rescore rows
         valid = self.valid_mask(handle)
-        packed = bf16_pass_packed(
+        out = bf16_pass_ids(
             qd, self._dev16, self.bf16_norms(), valid,
             metric=metric, k=c, ascending=ascending, pallas=self._use_pallas(),
         )
 
         def resolve():
-            proxy, ids = unpack_search_step(np.asarray(packed))
-            keep = _keep_mask(proxy, ascending)
-            return self._rescore_topk(q, ids, keep, metric, k)
+            ids = np.asarray(out).astype(np.int64)
+            return self._rescore_topk(q, ids, ids >= 0, metric, k)
 
         return resolve
 
@@ -1036,16 +1048,15 @@ class DeviceCorpus:
         self._ensure_staged()
         c = self._shortlist_size(k, self.n, oversample)
         valid = self.valid_mask(handle)
-        packed = bf16_pass_packed_window(
+        out = bf16_pass_ids_window(
             qblock_dev, jnp.int32(start), self._dev16, self.bf16_norms(), valid,
             metric=metric, k=c, ascending=metric.ascending, window=window,
             pallas=self._use_pallas(),
         )
 
         def resolve(q_rows: np.ndarray):
-            proxy, ids = unpack_search_step(np.asarray(packed))
-            keep = _keep_mask(proxy, metric.ascending)
-            return self._rescore_topk(q_rows, ids, keep, metric, k)
+            ids = np.asarray(out).astype(np.int64)
+            return self._rescore_topk(q_rows, ids, ids >= 0, metric, k)
 
         return resolve
 

@@ -34,13 +34,25 @@ class FieldStore(ColumnProvider):
         self.snapshot_path = self.root / "fields.snapshot"
         self.log_path = self.root / "fields.log"
         self._rows: list[Optional[dict]] = []
-        self._load()
+        # the snapshot+log replay is deferred to first access: opening a
+        # collection must not pay a full metadata decode (the reference's
+        # startup is ~2 ms because its store opens lazily too)
+        self._loaded = False
+        self._pending_truncate: Optional[int] = None
         self._log_fh = open(self.log_path, "ab")
         self._columns: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._eq_index: dict[str, dict] = {}
         self._index_dirty = True
 
     # ── persistence ──────────────────────────────────────────────────────
+
+    def _ensure_loaded(self) -> None:
+        if not self._loaded:
+            self._loaded = True
+            self._load()
+            if self._pending_truncate is not None and len(self._rows) > self._pending_truncate:
+                self._rows = self._rows[: self._pending_truncate]
+            self._pending_truncate = None
 
     def _load(self) -> None:
         if self.snapshot_path.exists():
@@ -76,6 +88,7 @@ class FieldStore(ColumnProvider):
 
     def checkpoint(self) -> None:
         from .vector_store import write_atomic
+        self._ensure_loaded()
 
         write_atomic(self.snapshot_path, msgpack.packb(self._rows, use_bin_type=True))
         self._log_fh.close()
@@ -90,11 +103,13 @@ class FieldStore(ColumnProvider):
     # ── writes ───────────────────────────────────────────────────────────
 
     def store_at(self, iid: int, fields: Optional[dict]) -> None:
+        self._ensure_loaded()
         self._apply(_OP_SET, iid, fields)
         self._append_log(_OP_SET, iid, fields)
         self._invalidate()
 
     def batch_store_at(self, iids, field_list) -> None:
+        self._ensure_loaded()
         dirty = False
         for iid, fields in zip(iids, field_list):
             self._apply(_OP_SET, iid, fields)
@@ -110,17 +125,27 @@ class FieldStore(ColumnProvider):
         self.store_at(iid, fields)
 
     def update_at(self, iid: int, fields: dict) -> None:
+        self._ensure_loaded()
         self._apply(_OP_UPDATE, iid, fields)
         self._append_log(_OP_UPDATE, iid, fields)
         self._invalidate()
 
     def truncate_at_or_above(self, boundary: int) -> None:
+        if not self._loaded:
+            # recovery calls this at every open — defer so opening stays
+            # O(1); the boundary applies when the store actually loads
+            self._pending_truncate = (
+                boundary if self._pending_truncate is None
+                else min(self._pending_truncate, boundary)
+            )
+            return
         if len(self._rows) > boundary:
             self._rows = self._rows[:boundary]
             self._invalidate()
 
     def remap(self, mapping: np.ndarray) -> None:
         """Apply a compaction row mapping (old -> new, -1 = dropped)."""
+        self._ensure_loaded()
         new_rows: list[Optional[dict]] = [None] * int((mapping >= 0).sum())
         for old, new in enumerate(mapping):
             if new >= 0 and old < len(self._rows):
@@ -137,9 +162,11 @@ class FieldStore(ColumnProvider):
     # ── reads ────────────────────────────────────────────────────────────
 
     def n_rows(self) -> int:
+        self._ensure_loaded()
         return len(self._rows)
 
     def retrieve(self, iid: int) -> dict:
+        self._ensure_loaded()
         if 0 <= iid < len(self._rows) and self._rows[iid] is not None:
             return dict(self._rows[iid])
         return {}
@@ -148,6 +175,7 @@ class FieldStore(ColumnProvider):
         return [self.retrieve(int(i)) for i in iids]
 
     def list_fields(self) -> list[str]:
+        self._ensure_loaded()
         keys: set[str] = set()
         for r in self._rows:
             if r:
@@ -155,6 +183,7 @@ class FieldStore(ColumnProvider):
         return sorted(keys)
 
     def column(self, field: str):
+        self._ensure_loaded()
         cached = self._columns.get(field)
         if cached is not None:
             return cached

@@ -165,10 +165,14 @@ def main() -> None:
             pipe_ms = (time.perf_counter() - t0) / len(qs) * 1e3
             b = min(256, len(qs))
             coll.batch_search(qs[:b], k=K)
+            # distinct per-rep query sets: identical queries would ride the
+            # engine's search cache and report cache-hit time, not scan time
+            reps = 3
+            qsets = [qs[:b] + np.float32(1e-3 * (r_i + 1)) for r_i in range(reps)]
             t0 = time.perf_counter()
-            for _ in range(3):
-                coll.batch_search(qs[:b], k=K)
-            batch_qps = b / ((time.perf_counter() - t0) / 3)
+            for r_i in range(reps):
+                coll.batch_search(qsets[r_i], k=K)
+            batch_qps = b / ((time.perf_counter() - t0) / reps)
             report["configs"][name] = {
                 "recall_at_10": round(rec, 4),
                 "pipelined_ms_per_query": round(pipe_ms, 3),
@@ -184,9 +188,10 @@ def main() -> None:
                 rec_d = recall_at_10(coll, qs, gt, nprobe=150)
                 bq = min(64, len(qs))
                 coll.batch_search(qs[:bq], k=K, nprobe=150)
+                dsets = [qs[:bq] + np.float32(1e-3 * (r_i + 1)) for r_i in range(3)]
                 t0 = time.perf_counter()
-                for _ in range(3):
-                    coll.batch_search(qs[:bq], k=K, nprobe=150)
+                for r_i in range(3):
+                    coll.batch_search(dsets[r_i], k=K, nprobe=150)
                 d_qps = bq / ((time.perf_counter() - t0) / 3)
                 idx = coll._engine._index
                 report["configs"]["DISKANN-IP"] = {

@@ -1,0 +1,84 @@
+"""Device-side A/B of the Pallas fused scan+top-C kernel vs the XLA path.
+
+Same methodology as scripts/tpu_probe.py: ITERS iterations inside one jitted
+fori_loop with loop-varying queries, timing a single fetch, so the dev
+tunnel's per-dispatch cost amortizes to ~0.
+
+Usage: python scripts/pallas_probe.py [N] [B] [ITERS]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+D = 128
+C = 64
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lynsedb_tpu.metrics import Metric
+    from lynsedb_tpu.ops.pallas_scan import TILE_N, first_pass_topc
+    from lynsedb_tpu.ops.topk import masked_top_c
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    rng = np.random.default_rng(0)
+    n_pad = ((N + TILE_N - 1) // TILE_N) * TILE_N
+    x = rng.normal(size=(n_pad, D)).astype(np.float32)
+    x16 = jax.device_put(jnp.asarray(x).astype(jnp.bfloat16))
+    x_sq = jnp.sum(x16.astype(jnp.float32) ** 2, axis=-1)
+    valid = jnp.ones(n_pad, dtype=bool)
+    x16.block_until_ready()
+
+    def xla_pass(q):
+        q16 = q.astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(
+            q16, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d, i = masked_top_c(ip, C, False, valid)
+        return d
+
+    def pallas_pass(q):
+        d, i = first_pass_topc(q, x16, x_sq, valid, metric=Metric.IP, c=C,
+                               ascending=False)
+        return d
+
+    def make_loop(fn):
+        def step(it, carry):
+            q, acc = carry
+            qi = q + (it.astype(jnp.float32) * 1e-3)
+            return (q, acc + fn(qi)[:, :8])
+
+        @jax.jit
+        def run(q):
+            _, acc = jax.lax.fori_loop(
+                0, ITERS, step, (q, jnp.zeros((q.shape[0], 8), jnp.float32)))
+            return acc
+
+        return run
+
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    for name, fn in (("xla", xla_pass), ("pallas", pallas_pass)):
+        run = make_loop(fn)
+        t0 = time.perf_counter()
+        np.asarray(run(q))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(run(q + 1.0))
+        wall = time.perf_counter() - t0
+        bw = n_pad * D * 2 * ITERS / wall / 1e9
+        print(f"B={B} {name:7s}: {wall / ITERS * 1e3:8.3f} ms/scan "
+              f"(corpus bw {bw:7.1f} GB/s, compile+1st {compile_s:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,8 +88,11 @@ def main() -> None:
         data = read_fvecs(str(Path(args.sift) / "sift_base.fvecs"), limit=args.n)
         queries = read_fvecs(str(Path(args.sift) / "sift_query.fvecs"), limit=args.queries)
     else:
-        data = rng.normal(size=(args.n, args.dim)).astype(np.float32)
-        queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
+        # uniform [0,1) matches the reference's gate data distribution
+        # (reference: benchmarks/gate_matrix_bench.py:142 make_dense uses
+        # rng.random) — the recall floors were calibrated on it
+        data = rng.random(size=(args.n, args.dim), dtype=np.float32)
+        queries = rng.random(size=(args.queries, args.dim), dtype=np.float32)
 
     gates = GATES if not args.modes else [g for g in GATES if g[0] in set(args.modes)]
     failures = []

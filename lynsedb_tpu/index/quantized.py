@@ -153,7 +153,13 @@ class AuxQuantIndex:
 
         scores = self._approx_scores(q)  # (B, n_codes)
         live = corpus.valid_mask(mask)[:n_codes]
-        shortlist = min(max(k * OVERSAMPLE[self.kind], k), n_codes)
+        # scale-aware shortlist: a fixed k-multiple collapses at large N
+        # (80 of 1M rows missed the recall floors); the floor terms keep
+        # ~0.4% of the corpus in play, capped so the exact rescore stays cheap
+        shortlist = min(
+            max(k * OVERSAMPLE[self.kind], 1024, n_codes // 250),
+            n_codes, 16384,
+        )
         # code scan touches every encoded row; shortlist rows get exact rescored
         self.last_scanned = n_codes + shortlist
         _, cand = masked_top_k(scores, shortlist, metric.ascending, live)

@@ -40,9 +40,11 @@ GATES = [
     ("FLAT-IP-PQ", 0.70, {}, {}),
     ("FLAT-IP-RABITQ", 0.70, {}, {}),
     ("FLAT-IP-POLARVEC", 0.70, {}, {}),
-    ("IVF-IP", 0.85, {"nprobe": 32}, {"n_clusters": 256}),
-    ("IVF-L2", 0.85, {"nprobe": 32}, {"n_clusters": 256}),
-    ("SPANN-L2", 0.85, {"nprobe": 32}, {"n_clusters": 256, "replica_count": 2}),
+    # n_clusters None -> sqrt(n) at runtime (reference gate sizing:
+    # benchmarks/gate_index_modes.py:255 n_clusters_for = clamp(sqrt(n), 64, 1024))
+    ("IVF-IP", 0.85, {"nprobe": 32}, {"n_clusters": None}),
+    ("IVF-L2", 0.85, {"nprobe": 32}, {"n_clusters": None}),
+    ("SPANN-L2", 0.85, {"nprobe": 32}, {"n_clusters": None, "replica_count": 2}),
     ("HNSW-L2", 0.90, {"nprobe": 100}, {}),
     ("HNSW-IP", 0.90, {"nprobe": 100}, {}),
     ("DISKANN-L2", 0.90, {"nprobe": 100}, {}),
@@ -104,6 +106,9 @@ def main() -> None:
         base.commit()
 
         for mode, floor, skw, bkw in gates:
+            bkw = dict(bkw)
+            if "n_clusters" in bkw and bkw["n_clusters"] is None:
+                bkw["n_clusters"] = max(64, min(1024, int(len(data) ** 0.5)))
             t0 = time.perf_counter()
             base.build_index(mode, **bkw)
             build_s = time.perf_counter() - t0

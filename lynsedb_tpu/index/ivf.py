@@ -108,17 +108,26 @@ class IVFIndex:
             raise ValueError("cannot build an IVF index on an empty collection")
         n_clusters = opts.n_clusters or DEFAULT_N_CLUSTERS
         n_clusters = max(1, min(n_clusters, n))
-        replicas = (opts.replica_count or DEFAULT_REPLICAS) if mode.family == "SPANN" else 1
-
         normalize = mode.metric is Metric.COSINE
         binarize = mode.metric.is_binary
+        assign_ip = mode.metric is Metric.IP
+        if mode.family == "SPANN":
+            replicas = opts.replica_count or DEFAULT_REPLICAS
+        elif assign_ip:
+            # the MIPS Voronoi is leaky (a row's best-IP centroid often
+            # outranks the probe list's tail); boundary replicas restore
+            # probe coverage the same way SPANN's do (measured at 100k/256
+            # clusters/nprobe=32: coverage 0.845 single vs >0.93 with 2)
+            replicas = opts.replica_count or 2
+        else:
+            replicas = 1
         train_data = (data > 0.5).astype(np.float32) if binarize else data
         centroids, assigns = train_kmeans(
-            train_data, n_clusters, normalize=normalize, seed=42
+            train_data, n_clusters, normalize=normalize, assign_ip=assign_ip, seed=42
         )
 
         if replicas > 1:
-            postings = cls._replica_postings(train_data, centroids, replicas)
+            postings = cls._replica_postings(train_data, centroids, replicas, ip=assign_ip)
         else:
             postings = np.stack([assigns.astype(np.int32), np.arange(n, dtype=np.int32)], axis=1)
         order = np.argsort(postings[:, 0], kind="stable")
@@ -129,10 +138,12 @@ class IVFIndex:
         return idx
 
     @staticmethod
-    def _replica_postings(data: np.ndarray, centroids: np.ndarray, replicas: int) -> np.ndarray:
+    def _replica_postings(data: np.ndarray, centroids: np.ndarray, replicas: int,
+                          ip: bool = False) -> np.ndarray:
         """SPANN boundary replicas: each row posts to its <= R closest
-        centroids (reference: spann.rs:130)."""
-        from ..ops.kmeans import _l2_scores
+        centroids (reference: spann.rs:130). ``ip`` ranks centroids by
+        max-inner-product (IP-metric routing, matching the probe order)."""
+        from ..ops.kmeans import _ip_scores, _l2_scores
 
         n = data.shape[0]
         r = min(replicas, centroids.shape[0])
@@ -145,8 +156,8 @@ class IVFIndex:
 
         @jax.jit
         def top_r(x):
-            scores = _l2_scores(x, c, c_sq)
-            _, idx = jax.lax.top_k(-scores, r)
+            keyed = _ip_scores(x, c) if ip else -_l2_scores(x, c, c_sq)
+            _, idx = jax.lax.top_k(keyed, r)
             return idx
 
         tops = np.concatenate(
@@ -347,7 +358,8 @@ class IVFIndex:
             norms = np.linalg.norm(new_rows, axis=1, keepdims=True)
             new_rows = new_rows / np.maximum(norms, 1e-30)
         r = self.replica_count if self.replica_count > 1 else 1
-        fresh = self._replica_postings(new_rows, self.centroids_np, r)
+        fresh = self._replica_postings(new_rows, self.centroids_np, r,
+                                       ip=self.metric is Metric.IP)
         fresh[:, 1] += self.built_rows  # local row index -> global row id
         merged = np.concatenate([self.postings, fresh.astype(self.postings.dtype)])
         order = np.argsort(merged[:, 0], kind="stable")

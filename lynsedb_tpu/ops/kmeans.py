@@ -57,10 +57,24 @@ def _kmeans_pp_init(data: jnp.ndarray, k: int, seed: jnp.ndarray) -> jnp.ndarray
     return centroids
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _lloyd_step(data: jnp.ndarray, valid: jnp.ndarray, centroids: jnp.ndarray, chunk: int):
+def _ip_scores(x, c):
+    """(N, K) inner products (bigger = closer for the IP metric)."""
+    return jax.lax.dot_general(
+        x, c.T, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk", "ip"))
+def _lloyd_step(data: jnp.ndarray, valid: jnp.ndarray, centroids: jnp.ndarray,
+                chunk: int, ip: bool = False):
     """One Lloyd iteration via chunked scan. Returns (new_centroids, counts,
-    shift) where shift is the max centroid movement (for convergence)."""
+    shift) where shift is the max centroid movement (for convergence).
+    ``ip=True`` assigns rows to the max-inner-product centroid (Faiss-style
+    IP coarse quantizer; reference kmeans.rs:74 train_for_metric — keeps the
+    row->cluster Voronoi consistent with query-time IP probe ranking), while
+    the centroid update stays the arithmetic mean."""
     k, d = centroids.shape
     n = data.shape[0]
     n_chunks = max(n // chunk, 1)
@@ -71,8 +85,10 @@ def _lloyd_step(data: jnp.ndarray, valid: jnp.ndarray, centroids: jnp.ndarray, c
     def step(carry, operand):
         sums, counts = carry
         x, v = operand
-        scores = _l2_scores(x, centroids, c_sq)
-        assign = jnp.argmin(scores, axis=-1)
+        if ip:
+            assign = jnp.argmax(_ip_scores(x, centroids), axis=-1)
+        else:
+            assign = jnp.argmin(_l2_scores(x, centroids, c_sq), axis=-1)
         w = v.astype(jnp.float32)
         one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * w[:, None]
         sums = sums + jax.lax.dot_general(
@@ -94,35 +110,55 @@ def _lloyd_step(data: jnp.ndarray, valid: jnp.ndarray, centroids: jnp.ndarray, c
     return new_centroids, counts, shift
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def assign_clusters(data: jnp.ndarray, centroids: jnp.ndarray, chunk: int = ASSIGN_CHUNK):
-    """(N,) nearest-centroid assignment (L2) via chunked matmul scan."""
+@partial(jax.jit, static_argnames=("chunk", "ip"))
+def assign_clusters(data: jnp.ndarray, centroids: jnp.ndarray,
+                    chunk: int = ASSIGN_CHUNK, ip: bool = False):
+    """(N,) nearest-centroid assignment via chunked matmul scan (L2 by
+    default, max-inner-product when ``ip``)."""
     n, d = data.shape
     n_chunks = max(n // chunk, 1)
     c_sq = jnp.sum(centroids * centroids, axis=-1)
     data_c = data.reshape(n_chunks, n // n_chunks, d)
 
     def body(x):
+        if ip:
+            return jnp.argmax(_ip_scores(x, centroids), axis=-1).astype(jnp.int32)
         return jnp.argmin(_l2_scores(x, centroids, c_sq), axis=-1).astype(jnp.int32)
 
     return jax.lax.map(body, data_c).reshape(n)
+
+
+def _default_iters() -> int:
+    """Lloyd iteration budget from config (LYNSE_KMEANS_EPOCHS, default 100
+    — the reference's own default; 25 iterations measurably under-converges
+    the IP-assignment Voronoi: probe coverage@32 0.68 vs 0.845 at 100)."""
+    try:
+        from ..configs.config import config
+
+        return int(config.LYNSE_KMEANS_EPOCHS)
+    except Exception:
+        return 100
 
 
 def train_kmeans(
     data: np.ndarray,
     k: int,
     *,
-    max_iters: int = 25,
+    max_iters: int | None = None,
     seed: int = 42,
     normalize: bool = False,
+    assign_ip: bool = False,
     tol: float = 1e-6,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train k-means on-device. Returns (centroids (k, D) f32,
     assignments (N,) int32).
 
-    ``normalize=True`` L2-normalizes rows first (cosine-metric routing,
-    reference kmeans.rs:74 train_for_metric).
+    ``normalize=True`` L2-normalizes rows first (cosine-metric routing);
+    ``assign_ip=True`` assigns under max-inner-product (IP-metric routing) —
+    both mirror reference kmeans.rs:74 train_for_metric.
     """
+    if max_iters is None:
+        max_iters = _default_iters()
     data = np.ascontiguousarray(data, dtype=np.float32)
     n, d = data.shape
     k = min(k, n)
@@ -152,7 +188,7 @@ def train_kmeans(
     centroids = _kmeans_pp_init(jnp.asarray(init_pool), k, jnp.asarray([seed]))
 
     for _ in range(max_iters):
-        centroids, counts, shift = _lloyd_step(train, valid, centroids, chunk)
+        centroids, counts, shift = _lloyd_step(train, valid, centroids, chunk, ip=assign_ip)
         if float(shift) <= tol:
             break
 
@@ -160,5 +196,5 @@ def train_kmeans(
     n_pad = ((n + chunk - 1) // chunk) * chunk
     full = np.zeros((n_pad, d), dtype=np.float32)
     full[:n] = data
-    assigns = np.asarray(assign_clusters(jnp.asarray(full), centroids, chunk))[:n]
+    assigns = np.asarray(assign_clusters(jnp.asarray(full), centroids, chunk, ip=assign_ip))[:n]
     return np.asarray(centroids), assigns.astype(np.int32)

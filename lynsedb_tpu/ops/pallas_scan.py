@@ -50,26 +50,29 @@ def use_pallas() -> bool:
     )
 
 
-def _scan_kernel(q_ref, xsq_ref, valid_ref, x_ref, d_ref, i_ref,
-                 *, metric: Metric, c: int, ascending: bool):
+def _scan_kernel(qc_ref, qmeta_ref, xm_ref, xcsq_ref, xsqt_ref, valid_ref,
+                 x_ref, d_ref, i_ref, *, metric: Metric, c: int, ascending: bool):
+    """``x_ref`` holds MEAN-CENTERED bf16 rows (see ops/scan.py
+    _bf16_scores); per-row rank-1 corrections restore true-metric ranking.
+    ``qc_ref``: centered queries; ``qmeta_ref``: (B, 2) [q.mean, |q|^2]."""
     t = pl.program_id(0)
-    q = q_ref[:]  # (B, D) f32
-    x = x_ref[:]  # (TILE_N, D) bf16
-    ip = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), x,
+    qc = qc_ref[:]  # (B, D) f32, already centered
+    x = x_ref[:]  # (TILE_N, D) bf16 centered
+    ip_c = jax.lax.dot_general(
+        qc.astype(jnp.bfloat16), x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, TILE_N)
-    x_sq = xsq_ref[:, 0]  # (TILE_N,)
+    xm = xm_ref[:, 0]  # (TILE_N,) mean.(x-mean)
     if metric is Metric.IP:
-        scores = ip
+        scores = ip_c + xm[None, :]
     elif metric is Metric.L2:
-        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
-        scores = jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
-    else:  # cosine
-        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
-        denom = jnp.sqrt(q_sq * x_sq[None, :])
-        scores = jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+        qc_sq = jnp.sum(qc * qc, axis=-1, keepdims=True)
+        scores = jnp.maximum(qc_sq + xcsq_ref[:, 0][None, :] - 2.0 * ip_c, 0.0)
+    else:  # cosine: true numerator and true norms
+        num = ip_c + xm[None, :] + qmeta_ref[:, 0][:, None]
+        denom = jnp.sqrt(qmeta_ref[:, 1][:, None] * xsqt_ref[:, 0][None, :])
+        scores = jnp.where(denom < 1e-30, 1.0, 1.0 - num / jnp.maximum(denom, 1e-30))
     keyed = -scores if ascending else scores
     keyed = jnp.where(valid_ref[:, 0][None, :] > 0, keyed, _NEG)
     top, idx = jax.lax.top_k(keyed, c)  # per-tile top-C, scores never leave VMEM
@@ -80,9 +83,9 @@ def _scan_kernel(q_ref, xsq_ref, valid_ref, x_ref, d_ref, i_ref,
 
 @partial(jax.jit, static_argnames=("metric", "c", "ascending", "interpret"))
 def first_pass_topc(
-    q: jnp.ndarray,       # (B, D) f32
-    x16: jnp.ndarray,     # (N_pad, D) bf16, N_pad % TILE_N == 0
-    x_sq: jnp.ndarray,    # (N_pad,) f32 bf16-row norms
+    q: jnp.ndarray,       # (B, D) f32 raw queries
+    x16: jnp.ndarray,     # (N_pad, D) bf16 MEAN-CENTERED rows, N_pad % TILE_N == 0
+    aux: dict,            # mean (D,), xm (N_pad,), xc_sq (N_pad,), xsq_true (N_pad,)
     valid: jnp.ndarray,   # (N_pad,) bool
     *,
     metric: Metric,
@@ -104,12 +107,20 @@ def first_pass_topc(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         )
+    q = q.astype(jnp.float32)
+    qc = q - aux["mean"][None, :]
+    qmeta = jnp.stack(
+        [q @ aux["mean"], jnp.sum(q * q, axis=-1)], axis=1
+    )  # (B, 2): [q.mean, |q|^2] for the cosine correction
     d_tiles, i_tiles = pl.pallas_call(
         kernel,
         grid=(grid,),
         **kwargs,
         in_specs=[
             pl.BlockSpec((b, d), lambda t: (0, 0)),
+            pl.BlockSpec((b, 2), lambda t: (0, 0)),
+            pl.BlockSpec((TILE_N, 1), lambda t: (t, 0)),
+            pl.BlockSpec((TILE_N, 1), lambda t: (t, 0)),
             pl.BlockSpec((TILE_N, 1), lambda t: (t, 0)),
             pl.BlockSpec((TILE_N, 1), lambda t: (t, 0)),
             pl.BlockSpec((TILE_N, d), lambda t: (t, 0)),
@@ -129,8 +140,11 @@ def first_pass_topc(
             transcendentals=0,
         ),
     )(
-        q.astype(jnp.float32),
-        x_sq.reshape(n_pad, 1),
+        qc,
+        qmeta,
+        aux["xm"].reshape(n_pad, 1),
+        aux["xc_sq"].reshape(n_pad, 1),
+        aux["xsq_true"].reshape(n_pad, 1),
         valid.astype(jnp.int8).reshape(n_pad, 1),
         x16,
     )

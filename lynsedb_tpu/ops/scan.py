@@ -253,22 +253,37 @@ def flat_search_step(
 # ── fused bf16 first-pass kernels ─────────────────────────────────────────
 
 
-def _bf16_scores(q: jnp.ndarray, x16: jnp.ndarray, x_sq: jnp.ndarray, metric: Metric):
-    """(B, C) proxy scores from a bf16 corpus block. ``x_sq`` is the
-    precomputed f32 row-norm vector (ignored for IP; XLA DCEs the input)."""
-    q16 = q.astype(jnp.bfloat16)
-    ip = jax.lax.dot_general(
-        q16, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
+def _bf16_scores(q: jnp.ndarray, x16: jnp.ndarray, aux: dict, metric: Metric):
+    """(B, C) proxy scores from a MEAN-CENTERED bf16 corpus block.
+
+    ``x16`` stores ``x - mean`` in bf16: centering removes the corpus's
+    common component before rounding, so bf16 precision is spent on the
+    discriminative part (uncentered, score spread on low-variance data is
+    comparable to the bf16 rounding noise — measured recall@10 0.995 vs the
+    0.999 exact-flat floor at 1M uniform rows). Rankings are exactly
+    preserved via per-row rank-1 corrections:
+
+      q.x   = (q-m).(x-m) + m.(x-m) + q.m  ->  ip_c + xm + const(q)
+      |q-x| =  |(q-m) - (x-m)|             ->  centered L2 directly
+
+    ``aux``: mean (D,), xm (C,) = m.(x-m) per row, xc_sq (C,) = centered-row
+    norms, xsq_true (C,) = true row norms (cosine only; XLA DCEs unused
+    inputs)."""
+    qc = q - aux["mean"][None, :]
+    ip_c = jax.lax.dot_general(
+        qc.astype(jnp.bfloat16), x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if metric is Metric.IP:
-        return ip
-    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        return ip_c + aux["xm"][None, :]
     if metric is Metric.L2:
-        return jnp.maximum(q_sq + x_sq[None, :] - 2.0 * ip, 0.0)
-    # cosine
-    denom = jnp.sqrt(q_sq * x_sq[None, :])
-    return jnp.where(denom < 1e-30, 1.0, 1.0 - ip / jnp.maximum(denom, 1e-30))
+        qc_sq = jnp.sum(qc * qc, axis=-1, keepdims=True)
+        return jnp.maximum(qc_sq + aux["xc_sq"][None, :] - 2.0 * ip_c, 0.0)
+    # cosine: true numerator and true norms
+    num = ip_c + aux["xm"][None, :] + jnp.sum(q * aux["mean"][None, :], axis=-1, keepdims=True)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    denom = jnp.sqrt(q_sq * aux["xsq_true"][None, :])
+    return jnp.where(denom < 1e-30, 1.0, 1.0 - num / jnp.maximum(denom, 1e-30))
 
 
 def _shortlist_ids(d: jnp.ndarray, i: jnp.ndarray, ascending: bool) -> jnp.ndarray:
@@ -287,7 +302,7 @@ NEG_INF_F32 = jnp.float32(-jnp.inf)
 def bf16_pass_ids(
     q: jnp.ndarray,
     x16: jnp.ndarray,
-    x_sq: jnp.ndarray,
+    aux: dict,
     valid: jnp.ndarray,
     *,
     metric: Metric,
@@ -302,10 +317,10 @@ def bf16_pass_ids(
     if pallas:
         from .pallas_scan import first_pass_topc
 
-        d, i = first_pass_topc(q, x16, x_sq, valid, metric=metric, c=k,
+        d, i = first_pass_topc(q, x16, aux, valid, metric=metric, c=k,
                                ascending=ascending)
         return _shortlist_ids(d, i, ascending)
-    scores = _bf16_scores(q, x16, x_sq, metric)
+    scores = _bf16_scores(q, x16, aux, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
     return _shortlist_ids(d, i, ascending)
 
@@ -315,7 +330,7 @@ def bf16_pass_ids_window(
     qblock: jnp.ndarray,
     start: jnp.ndarray,
     x16: jnp.ndarray,
-    x_sq: jnp.ndarray,
+    aux: dict,
     valid: jnp.ndarray,
     *,
     metric: Metric,
@@ -331,10 +346,10 @@ def bf16_pass_ids_window(
     if pallas:
         from .pallas_scan import first_pass_topc
 
-        d, i = first_pass_topc(q, x16, x_sq, valid, metric=metric, c=k,
+        d, i = first_pass_topc(q, x16, aux, valid, metric=metric, c=k,
                                ascending=ascending)
         return _shortlist_ids(d, i, ascending)
-    scores = _bf16_scores(q, x16, x_sq, metric)
+    scores = _bf16_scores(q, x16, aux, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
     return _shortlist_ids(d, i, ascending)
 
@@ -345,7 +360,7 @@ def bf16_gather_pass_ids(
     x16: jnp.ndarray,
     idx: jnp.ndarray,
     idx_valid: jnp.ndarray,
-    x_sq: jnp.ndarray,
+    aux: dict,
     base_valid: jnp.ndarray,
     *,
     metric: Metric,
@@ -358,9 +373,14 @@ def bf16_gather_pass_ids(
     subset positions (invalid -1); the caller maps them back through its
     index list."""
     rows = jnp.take(x16, idx, axis=0)  # (S_pad, D) device gather
-    row_sq = jnp.take(x_sq, idx, axis=0)
+    sub_aux = {
+        "mean": aux["mean"],
+        "xm": jnp.take(aux["xm"], idx, axis=0),
+        "xc_sq": jnp.take(aux["xc_sq"], idx, axis=0),
+        "xsq_true": jnp.take(aux["xsq_true"], idx, axis=0),
+    }
     ok = idx_valid & jnp.take(base_valid, idx, axis=0)
-    scores = _bf16_scores(q, rows, row_sq, metric)
+    scores = _bf16_scores(q, rows, sub_aux, metric)
     d, i = masked_top_c(scores, k, ascending, ok)
     return _shortlist_ids(d, i, ascending)
 
@@ -369,7 +389,7 @@ def bf16_gather_pass_ids(
 def stream_block_packed(
     q: jnp.ndarray,
     x16: jnp.ndarray,
-    x_sq: jnp.ndarray,
+    aux: dict,
     valid: jnp.ndarray,
     prev_packed: jnp.ndarray,
     base: jnp.ndarray,
@@ -384,12 +404,13 @@ def stream_block_packed(
 
     The whole block sequence is dispatched asynchronously — device i+1's
     H2D overlaps block i's scan — and only the final state is fetched.
-    ``base`` is the block's global row offset."""
+    ``base`` is the block's global row offset. The carried proxy values are
+    rank-consistent across blocks because every block shares one mean."""
     if metric in TWO_PASS_METRICS:
-        scores = _bf16_scores(q, x16, x_sq, metric)
+        scores = _bf16_scores(q, x16, aux, metric)
         d, i = masked_top_c(scores, c, ascending, valid)
     else:
-        d, i = bf16_flat_topk(q, x16, valid, metric=metric, k=c, chunk=chunk)
+        d, i = bf16_flat_topk(q, x16, aux["mean"], valid, metric=metric, k=c, chunk=chunk)
     gid = i.astype(jnp.int32) + base
     pd = prev_packed[:, :c]
     hi = prev_packed[:, c : 2 * c].astype(jnp.int32)
@@ -405,19 +426,26 @@ def stream_block_packed(
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk"))
-def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, valid: jnp.ndarray,
-                   *, metric: Metric, k: int, chunk: int):
-    """Chunked approximate top-k over a bf16 corpus copy for the L1 family
-    (elementwise lanes upcast per chunk in-register). The matmul family uses
-    :func:`bf16_pass_ids` instead."""
+def bf16_flat_topk(q: jnp.ndarray, x_bf16: jnp.ndarray, mean: jnp.ndarray,
+                   valid: jnp.ndarray, *, metric: Metric, k: int, chunk: int):
+    """Chunked approximate top-k over the CENTERED bf16 corpus copy for the
+    L1 family (elementwise lanes upcast per chunk in-register, adding the
+    mean back — more precise than rounding the raw rows to bf16 would be).
+    The matmul family uses :func:`bf16_pass_ids` instead."""
     n_pad = x_bf16.shape[0]
     ascending = metric.ascending
 
     def score_block(xb):
         if metric in (Metric.IP, Metric.L2, Metric.COSINE):
-            x_sq = jnp.sum(xb.astype(jnp.float32) ** 2, axis=-1)
-            return _bf16_scores(q, xb, x_sq, metric)
-        xf = xb.astype(jnp.float32)
+            xf0 = xb.astype(jnp.float32)
+            aux = {
+                "mean": mean,
+                "xm": xf0 @ mean,
+                "xc_sq": jnp.sum(xf0 * xf0, axis=-1),
+                "xsq_true": jnp.sum((xf0 + mean[None, :]) ** 2, axis=-1),
+            }
+            return _bf16_scores(q, xb, aux, metric)
+        xf = xb.astype(jnp.float32) + mean[None, :]
         diff = jnp.abs(q[:, None, :] - xf[None, :, :])
         if metric is Metric.L1:
             return jnp.sum(diff, axis=-1)
@@ -590,8 +618,15 @@ class DeviceCorpus:
         self._dev32: Optional[jnp.ndarray] = None  # lazy (cap, dim) f32
         self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs: Optional[jnp.ndarray] = None  # (cap,) bool, True = deleted
-        self._sq: Optional[jnp.ndarray] = None  # (cap,) f32 bf16-row norms
+        self._sq: Optional[jnp.ndarray] = None  # (cap,) f32 centered-row norms
         self._sq_host: Optional[np.ndarray] = None  # host copy of the same
+        # centering state: the bf16 scan copy stores x - mean so rounding is
+        # spent on the discriminative component (see _bf16_scores); rankings
+        # are restored via the per-row xm = mean.(x-mean) correction
+        self._mean_np: Optional[np.ndarray] = None  # (D,) f32
+        self._xm_host: Optional[np.ndarray] = None  # (cap,) f32
+        self._xsqtrue_host: Optional[np.ndarray] = None  # (cap,) f32 true norms
+        self._aux: Optional[dict] = None  # device aux cache (mean/xm/xc_sq/xsq_true)
         self._host16: Optional[np.ndarray] = None  # streaming-mode bf16 mirror
         self.streaming = False  # bf16 corpus > HBM budget: blockwise scan
         self._valid_base: Optional[jnp.ndarray] = None
@@ -658,15 +693,18 @@ class DeviceCorpus:
             self._dev16 is not None
             and cap == self.capacity
             and self.mesh is None
+            and self._mean_np is not None
             and (self.n - self._dirty_lo) * 2 <= self.n
         )
         if incremental:
             lo = self._dirty_lo
-            tail16 = self._host[lo : self.n].astype(ml_dtypes.bfloat16)
-            if self._sq_host is not None:
-                self._sq_host[lo : self.n] = (tail16.astype(np.float32) ** 2).sum(axis=1)
+            tail16, sq, xm, xsqt = self._convert_block(lo, self.n)
+            self._sq_host[lo : self.n] = sq
+            self._xm_host[lo : self.n] = xm
+            self._xsqtrue_host[lo : self.n] = xsqt
             rows16 = jnp.asarray(tail16)
             self._dev16 = jax.lax.dynamic_update_slice(self._dev16, rows16, (lo, 0))
+            self._aux = None  # host aux changed; restage lazily
             if self._dev32 is not None:
                 self._dev32 = jax.lax.dynamic_update_slice(
                     self._dev32, jnp.asarray(self._host[lo : self.n]), (lo, 0)
@@ -674,21 +712,46 @@ class DeviceCorpus:
         else:
             self._dev16 = None  # free before reallocating
             self._dev32 = None
+            self._aux = None
+            self._compute_mean()
             full16 = _alloc_rows(cap, self.dim, ml_dtypes.bfloat16)
-            # fold the proxy-norm computation into the conversion sweep: one
-            # host pass, and the first search skips a whole device compile
-            sq_host = np.zeros(cap, dtype=np.float32)
+            # fold the aux computations into the conversion sweep: one host
+            # pass, and the first search skips a whole device compile
+            self._sq_host = np.zeros(cap, dtype=np.float32)
+            self._xm_host = np.zeros(cap, dtype=np.float32)
+            self._xsqtrue_host = np.zeros(cap, dtype=np.float32)
             for lo in range(0, self.n, 16 * ROW_BLOCK):
                 hi = min(lo + 16 * ROW_BLOCK, self.n)
-                block16 = self._host[lo:hi].astype(ml_dtypes.bfloat16)
+                block16, sq, xm, xsqt = self._convert_block(lo, hi)
                 full16[lo:hi] = block16
-                sq_host[lo:hi] = (block16.astype(np.float32) ** 2).sum(axis=1)
-            self._sq_host = sq_host
+                self._sq_host[lo:hi] = sq
+                self._xm_host[lo:hi] = xm
+                self._xsqtrue_host[lo:hi] = xsqt
             self._dev16 = _put(full16, self._rows_sharding())
             self.capacity = cap
         self._stage_tombs()
         self._dirty = False
         self._dirty_lo = self.n
+
+    def _compute_mean(self) -> None:
+        """Column mean over the live rows (one chunked pass)."""
+        acc = np.zeros(self.dim, dtype=np.float64)
+        for lo in range(0, self.n, 16 * ROW_BLOCK):
+            hi = min(lo + 16 * ROW_BLOCK, self.n)
+            acc += self._host[lo:hi].sum(axis=0, dtype=np.float64)
+        self._mean_np = (acc / max(self.n, 1)).astype(np.float32)
+
+    def _convert_block(self, lo: int, hi: int):
+        """Center + convert rows [lo, hi): returns (bf16 block, centered-row
+        norms, xm = mean.(x-mean), true row norms) — all f32 aux."""
+        m = self._mean_np
+        xc = self._host[lo:hi] - m[None, :]
+        block16 = xc.astype(ml_dtypes.bfloat16)
+        xc32 = block16.astype(np.float32)
+        sq = (xc32**2).sum(axis=1)
+        xm = xc32 @ m
+        xsqt = (np.asarray(self._host[lo:hi], dtype=np.float32) ** 2).sum(axis=1)
+        return block16, sq, xm, xsqt
 
     def _stage_streaming(self, cap: int) -> None:
         """Streaming mode: no resident device array. The bf16 copy lives in
@@ -698,26 +761,34 @@ class DeviceCorpus:
             self.streaming
             and self._host16 is not None
             and cap == self.capacity
+            and self._mean_np is not None
             and (self.n - self._dirty_lo) * 2 <= self.n
         )
         self._dev16 = None
         self._dev32 = None
         self._tombs = None
+        self._aux = None
         if incremental:
             lo = self._dirty_lo
-            tail16 = self._host[lo : self.n].astype(ml_dtypes.bfloat16)
+            tail16, sq, xm, xsqt = self._convert_block(lo, self.n)
             self._host16[lo : self.n] = tail16
-            self._sq_host[lo : self.n] = (tail16.astype(np.float32) ** 2).sum(axis=1)
+            self._sq_host[lo : self.n] = sq
+            self._xm_host[lo : self.n] = xm
+            self._xsqtrue_host[lo : self.n] = xsqt
         else:
+            self._compute_mean()
             host16 = _alloc_rows(cap, self.dim, ml_dtypes.bfloat16)
-            sq_host = np.zeros(cap, dtype=np.float32)
+            self._sq_host = np.zeros(cap, dtype=np.float32)
+            self._xm_host = np.zeros(cap, dtype=np.float32)
+            self._xsqtrue_host = np.zeros(cap, dtype=np.float32)
             for lo in range(0, self.n, 16 * ROW_BLOCK):
                 hi = min(lo + 16 * ROW_BLOCK, self.n)
-                block16 = self._host[lo:hi].astype(ml_dtypes.bfloat16)
+                block16, sq, xm, xsqt = self._convert_block(lo, hi)
                 host16[lo:hi] = block16
-                sq_host[lo:hi] = (block16.astype(np.float32) ** 2).sum(axis=1)
+                self._sq_host[lo:hi] = sq
+                self._xm_host[lo:hi] = xm
+                self._xsqtrue_host[lo:hi] = xsqt
             self._host16 = host16
-            self._sq_host = sq_host
             self.capacity = cap
         self.streaming = True
         self._dirty = False
@@ -759,21 +830,30 @@ class DeviceCorpus:
         self.n += m
         self._invalidate()
 
+    def _overwrite_aux(self, ids: np.ndarray, rows: np.ndarray):
+        """Centered bf16 rows + refreshed host aux for overwritten rows."""
+        m = self._mean_np
+        xc16 = (rows - m[None, :]).astype(ml_dtypes.bfloat16)
+        xc32 = xc16.astype(np.float32)
+        self._sq_host[ids] = (xc32**2).sum(axis=1)
+        self._xm_host[ids] = xc32 @ m
+        self._xsqtrue_host[ids] = (rows**2).sum(axis=1)
+        self._aux = None
+        return xc16
+
     def overwrite(self, row_ids: np.ndarray, rows: np.ndarray) -> None:
-        """Positional overwrite (upsert path)."""
+        """Positional overwrite (upsert path). Overwritten rows center with
+        the existing mean (any fixed mean preserves rankings)."""
         rows = np.ascontiguousarray(rows, dtype=np.float32)
         ids = np.asarray(row_ids, dtype=np.int32)
         self._host[ids] = rows
-        if self.streaming and not self._dirty:
-            rows16 = rows.astype(ml_dtypes.bfloat16)
-            self._host16[ids] = rows16
-            self._sq_host[ids] = (rows16.astype(np.float32) ** 2).sum(axis=1)
-        elif self._dev16 is not None and not self._dirty and self.mesh is None:
+        if self.streaming and not self._dirty and self._mean_np is not None:
+            self._host16[ids] = self._overwrite_aux(ids, rows)
+        elif (self._dev16 is not None and not self._dirty and self.mesh is None
+              and self._mean_np is not None):
+            xc16 = self._overwrite_aux(ids, rows)
             idx = jnp.asarray(ids)
-            rows16 = rows.astype(ml_dtypes.bfloat16)
-            if self._sq_host is not None:
-                self._sq_host[ids] = (rows16.astype(np.float32) ** 2).sum(axis=1)
-            self._dev16 = self._dev16.at[idx].set(jnp.asarray(rows16))
+            self._dev16 = self._dev16.at[idx].set(jnp.asarray(xc16))
             if self._dev32 is not None:
                 self._dev32 = self._dev32.at[idx].set(jnp.asarray(rows))
         else:
@@ -805,6 +885,10 @@ class DeviceCorpus:
         self._tombs_np = np.zeros(0, dtype=bool)
         self._tombs = None
         self._sq_host = None
+        self._mean_np = None
+        self._xm_host = None
+        self._xsqtrue_host = None
+        self._aux = None
         self._host16 = None
         self.streaming = False
         self._dirty = True
@@ -841,18 +925,19 @@ class DeviceCorpus:
         """Exact f32 rows from the host mirror (no device traffic)."""
         return self._host[np.asarray(row_ids, dtype=np.int64)]
 
-    def bf16_norms(self) -> jnp.ndarray:
-        """(cap,) f32 squared norms of the bf16 rows (the L2/cosine proxy
-        terms must match the bf16 matmul's own rounding)."""
+    def bf16_aux(self) -> dict:
+        """Device aux arrays for the centered bf16 proxies: mean (D,),
+        xm (cap,), xc_sq (cap,), xsq_true (cap,) — see _bf16_scores."""
         self._ensure_staged()
-        if self._sq is None:
-            if self._sq_host is not None and len(self._sq_host) == self.capacity:
-                self._sq = _put(self._sq_host, self._rows_sharding(1))
-            else:
-                self._sq = jax.jit(
-                    lambda x: jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
-                )(self._dev16)
-        return self._sq
+        if self._aux is None:
+            rs = self._rows_sharding(1)
+            self._aux = {
+                "mean": _put(self._mean_np, self._repl_sharding()),
+                "xm": _put(self._xm_host, rs),
+                "xc_sq": _put(self._sq_host, rs),
+                "xsq_true": _put(self._xsqtrue_host, rs),
+            }
+        return self._aux
 
     def transform(self, metric: Metric) -> dict:
         ct = self._transforms.get(metric)
@@ -894,6 +979,13 @@ class DeviceCorpus:
         c = max(64, oversample * k) if k <= 64 else (
             2 * k if k <= 512 else int(1.25 * k))
         c = max(c, k)
+        # scale the cushion with corpus size: when scores concentrate (e.g.
+        # uniform data, where IP spread is comparable to bf16 rounding) the
+        # proxy ranking is noisy within a band of near-ties, and a fixed-64
+        # shortlist drops true top-k rows at 1M scale (measured recall@10
+        # 0.995 vs the 0.999 exact-flat floor); ~0.025% of the corpus keeps
+        # the fetch and the exact rescore negligible
+        c = max(c, min(1024, limit // 4096))
         return min(_round_up(c, 64), max(limit, 1))
 
     def search_submit(
@@ -999,7 +1091,7 @@ class DeviceCorpus:
             self.last_scanned = handle.count + c
             idx, idx_valid = handle.device_indices(self.n, self.epoch, self._rows_sharding(1))
             out = bf16_gather_pass_ids(
-                qd, self._dev16, idx, idx_valid, self.bf16_norms(),
+                qd, self._dev16, idx, idx_valid, self.bf16_aux(),
                 self.valid_mask(), metric=metric, k=c, ascending=ascending,
             )
             subset = handle.indices
@@ -1017,7 +1109,7 @@ class DeviceCorpus:
         self.last_scanned = self.n + c  # full first pass + exact rescore rows
         valid = self.valid_mask(handle)
         out = bf16_pass_ids(
-            qd, self._dev16, self.bf16_norms(), valid,
+            qd, self._dev16, self.bf16_aux(), valid,
             metric=metric, k=c, ascending=ascending, pallas=self._use_pallas(),
         )
 
@@ -1049,7 +1141,7 @@ class DeviceCorpus:
         c = self._shortlist_size(k, self.n, oversample)
         valid = self.valid_mask(handle)
         out = bf16_pass_ids_window(
-            qblock_dev, jnp.int32(start), self._dev16, self.bf16_norms(), valid,
+            qblock_dev, jnp.int32(start), self._dev16, self.bf16_aux(), valid,
             metric=metric, k=c, ascending=metric.ascending, window=window,
             pallas=self._use_pallas(),
         )
@@ -1143,9 +1235,14 @@ class DeviceCorpus:
                         vb[: m_hi - lo] &= mask[lo:m_hi]
                     if m_hi < hi:
                         vb[max(m_hi - lo, 0):] = False
+            blk_aux = {
+                "mean": jnp.asarray(self._mean_np),
+                "xm": jnp.asarray(self._xm_host[lo:hi]),
+                "xc_sq": jnp.asarray(self._sq_host[lo:hi]),
+                "xsq_true": jnp.asarray(self._xsqtrue_host[lo:hi]),
+            }
             state = stream_block_packed(
-                qd, jnp.asarray(self._host16[lo:hi]),
-                jnp.asarray(self._sq_host[lo:hi]), jnp.asarray(vb),
+                qd, jnp.asarray(self._host16[lo:hi]), blk_aux, jnp.asarray(vb),
                 state, jnp.int32(lo),
                 metric=metric, c=c, ascending=ascending, chunk=chunk,
             )
@@ -1247,7 +1344,8 @@ class DeviceCorpus:
         valid = self.valid_mask(handle)
         shortlist = min(max(k * oversample, k), n_pad)
         d_s, i_s = bf16_flat_topk(
-            _put(q, self._repl_sharding()), self._dev16, valid,
+            _put(q, self._repl_sharding()), self._dev16,
+            self.bf16_aux()["mean"], valid,
             metric=metric, k=shortlist,
             chunk=scan_chunk_size(metric, n_pad, len(q)),
         )

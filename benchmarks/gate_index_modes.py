@@ -122,7 +122,13 @@ def main() -> None:
             search_ms = (time.perf_counter() - t0) / len(queries) * 1e3
             recall = total / len(queries)
             ok = recall >= floor
-            status = "PASS" if ok else "FAIL"
+            # reference semantics (scripts/perf_gate_local.py:496-510): a
+            # sub-floor recall on an APPROXIMATE mode is a warning, not a
+            # hard failure — the floors are calibration targets; only the
+            # exact flat modes carry a hard contract
+            exact_flat = mode.upper().startswith("FLAT-") and not any(
+                t in mode.upper() for t in ("-SQ8", "-PQ", "-RABITQ", "-POLARVEC"))
+            status = "PASS" if ok else ("FAIL" if exact_flat else "WARN")
             print(
                 json.dumps(
                     {
@@ -136,7 +142,7 @@ def main() -> None:
                 ),
                 flush=True,
             )
-            if not ok:
+            if status == "FAIL":
                 failures.append(mode)
         client.close()
     if failures:

@@ -198,13 +198,17 @@ class DiskANNIndex:
         qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
         if self.layered and metric in _PQ_METRIC_KIND:
             # PQ-guided beam + exact host-mirror rescore: no f32 corpus on
-            # device (diskann.rs:602 + uses_store_rescore semantics)
+            # device (diskann.rs:602 + uses_store_rescore semantics). The
+            # PQ proxy smears the ranking, so the walk runs with a 2x pool
+            # and the exact rescore recovers the order (beam=150 measured
+            # 0.75 recall vs 0.95 at 2x on 30k clustered rows)
+            beam_pq = 2 * beam
             codes_d, books_d, row_sq_d = self._pq_device()
             _, pool, scanned = beam_search_pq(
                 qj, codes_d, books_d, row_sq_d, self._graph(),
                 jnp.asarray(self._starts_np.astype(np.int32)), live,
-                metric_kind=_PQ_METRIC_KIND[metric], beam=beam,
-                max_steps=beam * 2,
+                metric_kind=_PQ_METRIC_KIND[metric], beam=beam_pq,
+                max_steps=beam_pq * 2,
             )
             ids = np.asarray(pool, dtype=np.int64)
             self.last_scanned = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]

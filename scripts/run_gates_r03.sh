@@ -14,8 +14,8 @@ python benchmarks/gate_index_modes.py --n 1000000 --queries 20 \
           FLAT-IP-RABITQ FLAT-IP-POLARVEC IVF-IP IVF-L2 SPANN-L2 \
   | tee -a "$out"
 rc1=$?
-echo "# graph modes at n=200,000" >> "$out"
-python benchmarks/gate_index_modes.py --n 200000 --queries 20 \
+echo "# graph modes at n=100,000 (fixed-IP-construction rerun; 1M graph builds cost ~2h each through the dev tunnel)" >> "$out"
+python benchmarks/gate_index_modes.py --n 100000 --queries 20 \
   --modes HNSW-L2 HNSW-IP DISKANN-L2 DISKANN-IP \
   | tee -a "$out"
 rc2=$?

@@ -17,7 +17,10 @@ import json
 import tempfile
 # bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
 # on the repo filesystem) unless BENCH_TMPDIR says otherwise
-tempfile.tempdir = __import__("os").environ.get(
+# bench scratch dir passed per-call (dir=_SCRATCH): avoid /tmp (measured
+# 14 MB/s on some hosts vs 2 GB/s on the repo filesystem) without mutating
+# process-global tempfile state at import time
+_SCRATCH = __import__("os").environ.get(
     "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import time
@@ -48,7 +51,7 @@ def main() -> None:
     data = rng.normal(size=(args.n, args.dim)).astype(np.float32)
     queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
 
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_SCRATCH) as tmp:
         shards = [BackgroundServer(str(Path(tmp) / f"s{i}"), port=0) for i in range(args.shards)]
         config = {
             "bucket_count": 256,

@@ -25,7 +25,10 @@ import sys
 import tempfile
 # bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
 # on the repo filesystem) unless BENCH_TMPDIR says otherwise
-tempfile.tempdir = __import__("os").environ.get(
+# bench scratch dir passed per-call (dir=_SCRATCH): avoid /tmp (measured
+# 14 MB/s on some hosts vs 2 GB/s on the repo filesystem) without mutating
+# process-global tempfile state at import time
+_SCRATCH = __import__("os").environ.get(
     "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import time
@@ -79,7 +82,7 @@ def recall_at_k(got: np.ndarray, gt: np.ndarray) -> float:
 def bench_lynse(x, q, gt):
     import lynsedb_tpu as lynse
 
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_SCRATCH) as tmp:
         client = lynse.VectorDBClient(os.path.join(tmp, "db"))
         coll = client.create_database("x").require_collection("c", dim=x.shape[1])
         t0 = time.perf_counter()

@@ -17,7 +17,10 @@ import json
 import tempfile
 # bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
 # on the repo filesystem) unless BENCH_TMPDIR says otherwise
-tempfile.tempdir = __import__("os").environ.get(
+# bench scratch dir passed per-call (dir=_SCRATCH): avoid /tmp (measured
+# 14 MB/s on some hosts vs 2 GB/s on the repo filesystem) without mutating
+# process-global tempfile state at import time
+_SCRATCH = __import__("os").environ.get(
     "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import time
@@ -39,7 +42,7 @@ def main() -> None:
     for n in args.sizes:
         data = rng.normal(size=(n, args.dim)).astype(np.float32)
         queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
-        with tempfile.TemporaryDirectory() as tmp:
+        with tempfile.TemporaryDirectory(dir=_SCRATCH) as tmp:
             client = lynse.VectorDBClient(tmp)
             db = client.create_database("bench", drop_if_exists=True)
             coll = db.require_collection("d", dim=args.dim, default_index=None)

@@ -20,9 +20,10 @@ import argparse
 import json
 import sys
 import tempfile
-# bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
-# on the repo filesystem) unless BENCH_TMPDIR says otherwise
-tempfile.tempdir = __import__("os").environ.get(
+# bench scratch dir passed per-call (dir=_SCRATCH): avoid /tmp (measured
+# 14 MB/s on some hosts vs 2 GB/s on the repo filesystem) without mutating
+# process-global tempfile state at import time
+_SCRATCH = __import__("os").environ.get(
     "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import time
@@ -98,7 +99,7 @@ def main() -> None:
 
     gates = GATES if not args.modes else [g for g in GATES if g[0] in set(args.modes)]
     failures = []
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_SCRATCH) as tmp:
         client = lynse.VectorDBClient(tmp)
         db = client.create_database("gate", drop_if_exists=True)
         base = db.require_collection("base", dim=data.shape[1], default_index=None)
@@ -113,6 +114,10 @@ def main() -> None:
             base.build_index(mode, **bkw)
             build_s = time.perf_counter() - t0
             want = ground_truth(data, queries, mode, args.k)
+            # warm query outside the timed loop: through the dev tunnel the
+            # first search absorbs the server-side executable compile
+            # (45-200 s), which otherwise lands in the first mode's search_ms
+            base.search(queries[0], k=args.k, **skw)
             total = 0.0
             t0 = time.perf_counter()
             for i in range(len(queries)):
@@ -121,14 +126,11 @@ def main() -> None:
                 total += len(got & set(want[i].tolist())) / args.k
             search_ms = (time.perf_counter() - t0) / len(queries) * 1e3
             recall = total / len(queries)
-            ok = recall >= floor
-            # reference semantics (scripts/perf_gate_local.py:496-510): a
-            # sub-floor recall on an APPROXIMATE mode is a warning, not a
-            # hard failure — the floors are calibration targets; only the
-            # exact flat modes carry a hard contract
-            exact_flat = mode.upper().startswith("FLAT-") and not any(
-                t in mode.upper() for t in ("-SQ8", "-PQ", "-RABITQ", "-POLARVEC"))
-            status = "PASS" if ok else ("FAIL" if exact_flat else "WARN")
+            # reference semantics (scripts/perf_gate_local.py:508 builds the
+            # recall case with warning=True when recall < floor, and :538
+            # treats warning as FAIL for every mode): sub-floor recall is a
+            # hard failure on ALL modes, approximate included
+            status = "PASS" if recall >= floor else "FAIL"
             print(
                 json.dumps(
                     {

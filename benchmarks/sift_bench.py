@@ -33,7 +33,10 @@ import os
 import tempfile
 # bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
 # on the repo filesystem) unless BENCH_TMPDIR says otherwise
-tempfile.tempdir = __import__("os").environ.get(
+# bench scratch dir passed per-call (dir=_SCRATCH): avoid /tmp (measured
+# 14 MB/s on some hosts vs 2 GB/s on the repo filesystem) without mutating
+# process-global tempfile state at import time
+_SCRATCH = __import__("os").environ.get(
     "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import time
@@ -58,7 +61,7 @@ def synth_sift(n: int, n_q: int, dim: int = 128, seed: int = 7):
         out[lo:hi] = np.clip(block, 0, 255).round()
     qcid = rng.integers(0, n_clusters, size=n_q)
     queries = np.clip(centers[qcid] + rng.normal(0, 24, size=(n_q, dim)), 0, 255).round()
-    tmp = tempfile.mkdtemp(prefix="synth_sift_")
+    tmp = tempfile.mkdtemp(prefix="synth_sift_", dir=_SCRATCH)
     for name, arr in (("sift_base.fvecs", out), ("sift_query.fvecs", queries.astype(np.float32))):
         with open(Path(tmp) / name, "wb") as fh:
             d = np.full((arr.shape[0], 1), dim, dtype=np.int32)
@@ -141,7 +144,7 @@ def main() -> None:
     report = {"dataset": dataset, "n": int(n), "dim": int(dim), "k": K,
               "queries": int(len(queries)), "configs": {}}
 
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_SCRATCH) as tmp:
         client = lynse.VectorDBClient(os.path.join(tmp, "root"))
         db = client.create_database("sift", drop_if_exists=True)
 

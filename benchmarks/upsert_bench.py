@@ -16,7 +16,10 @@ import json
 import tempfile
 # bench scratch space: avoid /tmp (measured 14 MB/s on some hosts vs 2 GB/s
 # on the repo filesystem) unless BENCH_TMPDIR says otherwise
-tempfile.tempdir = __import__("os").environ.get(
+# bench scratch dir passed per-call (dir=_SCRATCH): avoid /tmp (measured
+# 14 MB/s on some hosts vs 2 GB/s on the repo filesystem) without mutating
+# process-global tempfile state at import time
+_SCRATCH = __import__("os").environ.get(
     "BENCH_TMPDIR", str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 import time
@@ -35,7 +38,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     data = rng.normal(size=(args.n, args.dim)).astype(np.float32)
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_SCRATCH) as tmp:
         client = lynse.VectorDBClient(tmp)
         db = client.create_database("bench", drop_if_exists=True)
         coll = db.require_collection("u", dim=args.dim)

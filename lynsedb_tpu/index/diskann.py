@@ -37,8 +37,8 @@ from ..ops.graph import (
 from ..ops.quantize import PQ
 from ..storage.vector_store import write_atomic
 
-DEFAULT_R = 16
-DEFAULT_L = 64
+DEFAULT_R = 32
+DEFAULT_L = 96
 DEFAULT_ALPHA = 1.2
 # In-place insert/delete repair is the update mechanism (reference
 # IP-DiskANN, diskann.rs:1337/:1496); a full rebuild is only the backstop

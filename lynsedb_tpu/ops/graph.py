@@ -293,6 +293,124 @@ def robust_prune_batch(
     return out
 
 
+@partial(jax.jit, static_argnames=("metric_id", "l", "block"))
+def _topl_scan(q, q_ids, corpus, n_real, *, metric_id, l, block):
+    """Exact top-L neighbor candidates for a query chunk via a blocked scan.
+
+    ``corpus`` is (Npad, D) zero-padded to a multiple of ``block``; padded
+    rows are excluded by id. Runs as ONE dispatch: a fori_loop over corpus
+    blocks, each a (B, block) matmul + top_k, with a carried (B, L) merge.
+    metric_id: 0 = L2 (keys are -dist^2), 1 = dot (IP/cos on transformed
+    rows). Self-matches (block id == q_id) are masked.
+    """
+    b = q.shape[0]
+    npad = corpus.shape[0]
+    nb = npad // block
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+
+    def body(i, carry):
+        keys, ids = carry
+        lo = i * block
+        blk = jax.lax.dynamic_slice_in_dim(corpus, lo, block, 0)
+        ip = jax.lax.dot_general(
+            q, blk.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric_id == 0:
+            blk_sq = jnp.sum(blk * blk, axis=1)
+            kb = -(q_sq + blk_sq[None, :] - 2.0 * ip)
+        else:
+            kb = ip
+        bids = lo + jnp.arange(block, dtype=jnp.int32)
+        kb = jnp.where(
+            (bids[None, :] == q_ids[:, None]) | (bids[None, :] >= n_real),
+            NEG_INF, kb)
+        tk, ti = jax.lax.top_k(kb, l)
+        allk = jnp.concatenate([keys, tk], axis=1)
+        alli = jnp.concatenate([ids, jnp.take(bids, ti)], axis=1)
+        mk, pos = jax.lax.top_k(allk, l)
+        return mk, jnp.take_along_axis(alli, pos, axis=1)
+
+    keys0 = jnp.full((b, l), NEG_INF)
+    ids0 = jnp.full((b, l), -1, dtype=jnp.int32)
+    keys, ids = jax.lax.fori_loop(0, nb, body, (keys0, ids0))
+    return keys, ids
+
+
+@partial(jax.jit, static_argnames=("r", "descending"))
+def _robust_prune_dev(point_keys, pair_keys, cand_ids, alpha, *, r, descending):
+    """Device-side batched alpha-prune — the vectorized Vamana robust prune
+    (reference: diskann.rs:820-875) as a fori_loop over candidate ranks.
+    Same key-space semantics as :func:`robust_prune_batch` (which remains
+    the host/numpy twin used by small repair paths)."""
+    bs, l = point_keys.shape
+    order = jnp.argsort(-point_keys, axis=1)
+    pruned = (cand_ids < 0) | ~jnp.isfinite(point_keys)
+    out = jnp.full((bs, r), -1, dtype=jnp.int32)
+    out_n = jnp.zeros((bs,), dtype=jnp.int32)
+    ln_alpha = jnp.log(jnp.maximum(alpha, 1.0))
+    rows = jnp.arange(bs)
+
+    def body(rank, st):
+        pruned, out, out_n = st
+        idx = order[:, rank]  # (BS,)
+        active = (~pruned[rows, idx]) & (out_n < r)
+        sel = cand_ids[rows, idx].astype(jnp.int32)
+        slot = jnp.minimum(out_n, r - 1)
+        out = out.at[rows, slot].set(jnp.where(active, sel, out[rows, slot]))
+        pruned = pruned.at[rows, idx].set(pruned[rows, idx] | active)
+        kept_keys = pair_keys[rows, idx, :]  # (BS, L)
+        if descending:
+            dom = point_keys < kept_keys - ln_alpha
+        else:
+            dom = point_keys < alpha * kept_keys
+        pruned = pruned | (dom & active[:, None])
+        out_n = out_n + active.astype(jnp.int32)
+        return pruned, out, out_n
+
+    pruned, out, out_n = jax.lax.fori_loop(0, l, body, (pruned, out, out_n))
+    return out
+
+
+@partial(jax.jit, static_argnames=("metric", "r", "descending"))
+def _prune_chunk_kernel(corpus, node_ids, cand_ids, alpha, *, metric, r, descending):
+    """One-dispatch candidate prune for a node chunk: gathers rows, computes
+    point/pair keys in f32 on the MXU, runs the device alpha-prune. Returns
+    only the (BS, r) int32 adjacency — nothing bulky crosses the tunnel."""
+    node_rows = corpus[jnp.maximum(node_ids, 0)]  # (BS, D)
+    safe = jnp.maximum(cand_ids, 0)
+    cand_rows = corpus[safe]  # (BS, L, D)
+    point_keys = jax.vmap(
+        lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0]
+    )(node_rows, cand_rows)
+    bad = (cand_ids < 0) | (cand_ids == node_ids[:, None])
+    point_keys = jnp.where(bad, NEG_INF, point_keys)
+    pair_keys = jax.vmap(lambda xx: _keyed_pairwise(xx, xx, metric))(cand_rows)
+    return _robust_prune_dev(
+        point_keys, pair_keys, jnp.where(bad, -1, cand_ids),
+        alpha, r=r, descending=descending)
+
+
+def _reverse_candidates(forward: np.ndarray, n: int, width: int,
+                        rng: np.random.Generator) -> np.ndarray:
+    """(N, width) reverse-edge requesters per node (first come, capped)."""
+    r = forward.shape[1]
+    flat_pts = np.repeat(np.arange(forward.shape[0], dtype=np.int64), r)
+    flat_nbrs = forward.ravel().astype(np.int64)
+    ok = (flat_nbrs >= 0) & (flat_nbrs < n)
+    pts, nbrs = flat_pts[ok], flat_nbrs[ok]
+    out = np.full((n, width), -1, dtype=np.int32)
+    if len(nbrs) == 0:
+        return out
+    order = np.argsort(nbrs, kind="stable")
+    pts, nbrs = pts[order], nbrs[order]
+    uniq, group_start, counts = np.unique(nbrs, return_index=True, return_counts=True)
+    rank = np.arange(len(nbrs)) - np.repeat(group_start, counts)
+    keep = rank < width
+    out[nbrs[keep], rank[keep]] = pts[keep]
+    return out
+
+
 def _construction_space(metric: Metric, rows):
     """Graph CONSTRUCTION geometry. For inner product the alpha-RNG prune
     has no triangle inequality to create long-range navigable edges — even
@@ -319,10 +437,25 @@ def build_vamana(
     seed: int = 42,
     passes: int = 2,
     batch: int = 1024,
+    chunk: int = 4096,
 ) -> np.ndarray:
-    """Batched Vamana construction on-device (reference behavior:
-    diskann.rs:798 random init -> :1025 two robust-prune passes -> :1084
-    parallel batched build). Returns (N, r) int32 adjacency, -1 padded."""
+    """TPU-native Vamana-quality construction (replaces the reference's
+    sequential batched-insert build, diskann.rs:798-1084, with a formulation
+    that has no insert-order dependency chain):
+
+      1. exact top-``l_build`` neighbor candidates for EVERY node via blocked
+         MXU matmul scans (one dispatch per 4k-node chunk) — strictly better
+         candidate sets than the insert-time beam searches the reference uses;
+      2. device-side batched alpha robust-prune of each node's candidates
+         (+ a few random long-range candidates for navigability) -> forward
+         edges;
+      3. forward ∪ reverse candidate merge, re-pruned on device (the
+         reference's reverse-edge insert + overflow re-prune, done for all
+         nodes at once).
+
+    Returns (N, r) int32 adjacency, -1 padded. ``passes``/``batch`` are
+    retained for API compatibility (the construction is single-shot)."""
+    del passes, batch
     metric, corpus_rows = _construction_space(metric, corpus_rows)
     n = int(corpus_rows.shape[0])
     rng = np.random.default_rng(seed)
@@ -333,29 +466,145 @@ def build_vamana(
             graph[i, : len(others)] = others
         return graph
 
-    # random initial graph
+    l = max(l_build, 2 * r)
+    n_rand = min(8, max(n - l - 1, 0))
+    cand_ids = knn_candidates(corpus_rows, metric, l=l, chunk=chunk)
+
+    descending = not metric.ascending
+    corpus_dev = corpus_rows if isinstance(corpus_rows, jnp.ndarray) else jnp.asarray(corpus_rows)
+
+    # pass A: forward edges from (exact kNN + random long-range) candidates
+    forward = np.empty((n, r), dtype=np.int32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        ids_np = np.arange(lo, hi, dtype=np.int32)
+        cands = cand_ids[lo:hi]
+        if n_rand:
+            extra = rng.integers(0, n, size=(m, n_rand), dtype=np.int64).astype(np.int32)
+            cands = np.concatenate([cands, extra], axis=1)
+        if m < chunk:  # pad the last chunk to the compiled shape
+            ids_np = np.concatenate([ids_np, np.full(chunk - m, -1, np.int32)])
+            cands = np.concatenate(
+                [cands, np.full((chunk - m, cands.shape[1]), -1, np.int32)])
+        pruned = _prune_chunk_kernel(
+            corpus_dev, jnp.asarray(ids_np), jnp.asarray(cands),
+            jnp.float32(alpha), metric=metric, r=r, descending=descending)
+        forward[lo:hi] = np.asarray(pruned)[:m]
+
+    # pass B: merge reverse edges and re-prune every node once
+    rev = _reverse_candidates(forward, n, width=r, rng=rng)
     graph = np.empty((n, r), dtype=np.int32)
-    for i in range(0, n, 65536):
-        m = min(65536, n - i)
-        block = rng.integers(0, n - 1, size=(m, r))
-        block += block >= (np.arange(i, i + m)[:, None])  # avoid self-loops
-        graph[i : i + m] = block % n
-
-    medoid = int(np.asarray(jnp.argmin(jnp.sum((corpus_rows - corpus_rows.mean(0)) ** 2, axis=1))))
-    starts = jnp.asarray([medoid], dtype=jnp.int32)
-    valid = jnp.ones(n, dtype=bool)
-    alpha_pass = [1.0] * (passes - 1) + [alpha]
-
-    order = rng.permutation(n)
-    graph_dev = jnp.asarray(graph)  # device-resident copy, delta-updated
-    for p in range(passes):
-        for i in range(0, n, batch):
-            ids = order[i : i + batch]
-            graph_dev = _link_points_batch(
-                graph, graph_dev, ids, corpus_rows, starts, valid,
-                metric=metric, r=r, l_build=l_build,
-                alpha=alpha_pass[p], batch=batch)
+    width = 2 * r
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        ids_np = np.arange(lo, hi, dtype=np.int32)
+        cands = np.concatenate([forward[lo:hi], rev[lo:hi]], axis=1)
+        _mask_dup_cands(cands)
+        if m < chunk:
+            ids_np = np.concatenate([ids_np, np.full(chunk - m, -1, np.int32)])
+            cands = np.concatenate(
+                [cands, np.full((chunk - m, width), -1, np.int32)])
+        pruned = _prune_chunk_kernel(
+            corpus_dev, jnp.asarray(ids_np), jnp.asarray(cands),
+            jnp.float32(alpha), metric=metric, r=r, descending=descending)
+        graph[lo:hi] = np.asarray(pruned)[:m]
     return graph
+
+
+def _mask_dup_cands(cands: np.ndarray) -> None:
+    """In-place: set duplicate candidate ids within each row to -1 (keeps the
+    first occurrence). Vectorized — no per-row Python loops."""
+    srt_idx = np.argsort(cands, axis=1, kind="stable")
+    srt = np.take_along_axis(cands, srt_idx, axis=1)
+    dup_sorted = np.zeros_like(srt, dtype=bool)
+    dup_sorted[:, 1:] = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)
+    dup = np.zeros_like(cands, dtype=bool)
+    np.put_along_axis(dup, srt_idx, dup_sorted, axis=1)
+    cands[dup] = -1
+
+
+def knn_candidates(corpus_rows, metric: Metric, *, l: int,
+                   chunk: int = 4096, block: int = 131072) -> np.ndarray:
+    """Exact top-``l`` neighbors (construction space) for every row, via
+    :func:`_topl_scan` over corpus blocks. Returns (N, l) int32, -1 padded.
+    ``corpus_rows`` must already be in construction space."""
+    rows = corpus_rows if isinstance(corpus_rows, jnp.ndarray) else jnp.asarray(corpus_rows)
+    n, d = rows.shape
+    l_eff = min(l, n - 1)
+    block = min(block, max(((n + 1023) // 1024) * 1024, 1024))
+    npad = ((n + block - 1) // block) * block
+    if npad != n:
+        rows_pad = jnp.zeros((npad, d), dtype=rows.dtype).at[:n].set(rows)
+    else:
+        rows_pad = rows
+    fast = metric in (Metric.L2, Metric.IP, Metric.COSINE)
+    if metric is Metric.L2:
+        metric_id = 0
+        q_src = rows_pad
+    elif metric is Metric.COSINE:
+        metric_id = 1
+        norms = jnp.linalg.norm(rows_pad, axis=1, keepdims=True)
+        q_src = rows_pad / jnp.maximum(norms, 1e-30)
+        rows_pad = q_src
+    elif metric is Metric.IP:
+        metric_id = 1
+        q_src = rows_pad
+    out = np.full((n, l), -1, dtype=np.int32)
+    n_dev = jnp.int32(n)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        q_ids = np.full(chunk, -2, dtype=np.int32)
+        q_ids[:m] = np.arange(lo, hi, dtype=np.int32)
+        take = np.zeros(chunk, dtype=np.int64)
+        take[:m] = np.arange(lo, hi)
+        q = rows_pad[jnp.asarray(take)] if not fast else (
+            q_src[jnp.asarray(take)])
+        if fast:
+            keys, ids = _topl_scan(
+                q, jnp.asarray(q_ids), rows_pad, n_dev, metric_id=metric_id,
+                l=l_eff, block=block)
+        else:
+            keys, ids = _topl_generic(
+                q, jnp.asarray(q_ids), rows_pad, n_dev, metric=metric,
+                l=l_eff, block=block)
+        ids = np.array(ids)
+        keys = np.asarray(keys)
+        ids[~np.isfinite(keys)] = -1
+        ids[ids >= n] = -1
+        out[lo:hi, :l_eff] = ids[:m]
+    return out
+
+
+@partial(jax.jit, static_argnames=("metric", "l", "block"))
+def _topl_generic(q, q_ids, corpus, n_real, *, metric: Metric, l, block):
+    """Generic-metric twin of :func:`_topl_scan` for the domain metrics the
+    graph families also serve (HNSW-L1/-CHEBYSHEV/... in the reference's
+    mode list): same blocked top-L merge, distances via the full metric
+    registry."""
+    b = q.shape[0]
+    nb = corpus.shape[0] // block
+
+    def body(i, carry):
+        keys, ids = carry
+        lo = i * block
+        blk = jax.lax.dynamic_slice_in_dim(corpus, lo, block, 0)
+        kb = _keyed_pairwise(q, blk, metric)
+        bids = lo + jnp.arange(block, dtype=jnp.int32)
+        kb = jnp.where(
+            (bids[None, :] == q_ids[:, None]) | (bids[None, :] >= n_real),
+            NEG_INF, kb)
+        tk, ti = jax.lax.top_k(kb, l)
+        allk = jnp.concatenate([keys, tk], axis=1)
+        alli = jnp.concatenate([ids, jnp.take(bids, ti)], axis=1)
+        mk, pos = jax.lax.top_k(allk, l)
+        return mk, jnp.take_along_axis(alli, pos, axis=1)
+
+    keys0 = jnp.full((b, l), NEG_INF)
+    ids0 = jnp.full((b, l), -1, dtype=jnp.int32)
+    return jax.lax.fori_loop(0, nb, body, (keys0, ids0))
 
 
 def _link_points_batch(graph: np.ndarray, graph_dev, ids: np.ndarray,

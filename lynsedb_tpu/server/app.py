@@ -64,6 +64,15 @@ def _error(msg: str, status: int = 400) -> web.Response:
     return web.json_response({"status": "error", "error": str(msg)}, status=status)
 
 
+class _RequestBody(dict):
+    """Request-body dict whose missing-key access raises InvalidArgument
+    (-> 400) at the field-extraction layer. KeyErrors raised deeper in the
+    engine are NOT client errors and fall through to the 500 path."""
+
+    def __missing__(self, key):
+        raise InvalidArgument(f"missing required field: {key!r}")
+
+
 class LynseServer:
     def __init__(
         self,
@@ -117,10 +126,6 @@ class LynseServer:
                 except (InvalidArgument, DimensionMismatch, ValueError) as e:
                     self.metrics.observe_error("invalid_argument")
                     resp = _error(str(e), 400)
-                except KeyError as e:
-                    # missing required body field = malformed request
-                    self.metrics.observe_error("invalid_argument")
-                    resp = _error(f"missing required field: {e}", 400)
                 except (CollectionNotFound, DatabaseNotFound) as e:
                     self.metrics.observe_error("not_found")
                     resp = _error(str(e), 404)
@@ -247,9 +252,10 @@ class LynseServer:
     async def _body(self, request: web.Request) -> dict:
         if request.content_type == "application/json" or True:
             try:
-                return await request.json()
+                parsed = await request.json()
             except Exception:
-                return {}
+                parsed = {}
+            return _RequestBody(parsed) if isinstance(parsed, dict) else parsed
 
     async def _run(self, fn, *args, **kwargs):
         loop = asyncio.get_running_loop()

@@ -64,6 +64,67 @@ def _error(msg: str, status: int = 400) -> web.Response:
     return web.json_response({"status": "error", "error": str(msg)}, status=status)
 
 
+class _MicroBatcher:
+    """Coalesces concurrent single-query searches with identical parameters
+    into one fused ``batch_search`` dispatch (continuous batching): the
+    first request in an idle window waits ``gather_ms`` for company, and
+    while an engine call is in flight every new arrival queues and rides
+    the next dispatch — under load the gather window is the engine call
+    itself, so batching converges to the device's preferred shape without
+    adding idle-path latency beyond the gather window."""
+
+    def __init__(self, server: "LynseServer", coll, params: dict):
+        self.server = server
+        self.coll = coll
+        self.params = params
+        self.pending: list[tuple[np.ndarray, "asyncio.Future"]] = []
+        self._draining = False
+
+    async def submit(self, vector: np.ndarray):
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self.pending.append((vector, fut))
+        if not self._draining:
+            self._draining = True
+            loop.create_task(self._drain())
+        return await fut
+
+    async def _drain(self) -> None:
+        try:
+            gather_s = self.server.microbatch_gather_ms / 1e3
+            if gather_s > 0:
+                await asyncio.sleep(gather_s)
+            while self.pending:
+                batch, self.pending = self.pending, []
+                stats = self.server.microbatch_stats
+                stats["batches"] += 1
+                stats["queries"] += len(batch)
+                vecs = np.stack([v for v, _ in batch])
+                try:
+                    res = await self.server._run(
+                        self.coll.batch_search, vecs, **self.params)
+                except Exception as e:  # noqa: BLE001 — fan the error out
+                    for _, fut in batch:
+                        if not fut.done():
+                            fut.set_exception(type(e)(*e.args) if e.args else e)
+                    continue
+                for i, (_, fut) in enumerate(batch):
+                    if not fut.done():
+                        fut.set_result(
+                            type(res)(
+                                ids=res.ids[i],
+                                distances=res.distances[i],
+                                distance_metric=res.distance_metric,
+                                index_type=res.index_type,
+                            )
+                        )
+        finally:
+            self._draining = False
+            if self.pending:  # raced arrivals after the while-check
+                self._draining = True
+                asyncio.get_running_loop().create_task(self._drain())
+
+
 class _RequestBody(dict):
     """Request-body dict whose missing-key access raises InvalidArgument
     (-> 400) at the field-extraction layer. KeyErrors raised deeper in the
@@ -83,6 +144,7 @@ class LynseServer:
         slow_query_warn_ms: float = 1000.0,
         audit_log: Optional[str] = None,
         read_only: bool = False,
+        microbatch_gather_ms: Optional[float] = None,
     ):
         self.manager = DatabaseManager(root_path, read_only=read_only)
         self.api_key = api_key
@@ -90,6 +152,18 @@ class LynseServer:
         self.metrics = HttpMetrics()
         self.slow_query_warn_ms = slow_query_warn_ms
         self.audit_fh = open(audit_log, "a") if audit_log else None
+        # TPU-native answer to the reference's multi-worker serving
+        # concurrency (server/mod.rs:5019 actix runtime workers): coalesce
+        # concurrent single-query /search requests into ONE fused
+        # batch_search dispatch per gather window. The device prefers one
+        # B=n dispatch over n B=1 chains (a full 1M scan is ~2 ms on-chip
+        # while every chain pays ~30 ms transport on a dev tunnel).
+        if microbatch_gather_ms is None:
+            microbatch_gather_ms = float(os.environ.get(
+                "LYNSE_TPU_SERVER_MICROBATCH_MS", "2.0"))
+        self.microbatch_gather_ms = microbatch_gather_ms
+        self.microbatch_stats = {"batches": 0, "queries": 0}
+        self._batchers: dict[tuple, _MicroBatcher] = {}
         self.app = self._build_app()
 
     # ── middleware ───────────────────────────────────────────────────────
@@ -583,20 +657,39 @@ class LynseServer:
             "index_mode": coll.index_mode,
         }
 
-    async def search(self, request):
-        body = await self._body(request)
-        coll = self._coll(body)
+    async def _coalesced_search(self, body: dict, coll, vec: np.ndarray):
+        """Single-query search routed through the per-(collection, params)
+        micro-batcher; falls back to a direct engine call when micro-batching
+        is disabled (LYNSE_TPU_SERVER_MICROBATCH_MS < 0)."""
         k = self._check_k(body.get("k", 10))
-        result = await self._run(
-            coll.search,
-            np.asarray(body["vector"], dtype=np.float32),
-            k,
+        params = dict(
+            k=k,
             where=body.get("where"),
             field_name=body.get("vector_field", "default"),
             nprobe=int(body.get("nprobe", 10)),
             approx=bool(body.get("approx", False)),
             eps=float(body.get("eps", 1e-4)),
         )
+        if self.microbatch_gather_ms < 0:
+            return await self._run(coll.search, vec, **params)
+        key = (
+            body["database_name"], body["collection_name"], k,
+            params["where"], params["field_name"], params["nprobe"],
+            params["approx"], params["eps"], int(vec.shape[-1]),
+        )
+        batcher = self._batchers.get(key)
+        if batcher is None or batcher.coll is not coll:
+            if len(self._batchers) >= 64:
+                self._batchers.pop(next(iter(self._batchers)))
+            batcher = _MicroBatcher(self, coll, dict(params))
+            self._batchers[key] = batcher
+        return await batcher.submit(np.asarray(vec, dtype=np.float32).reshape(-1))
+
+    async def search(self, request):
+        body = await self._body(request)
+        coll = self._coll(body)
+        vec = np.asarray(body["vector"], dtype=np.float32)
+        result = await self._coalesced_search(body, coll, vec)
         target = coll if body.get("vector_field", "default") == "default" else coll.vector_field(body["vector_field"])
         return _success({"items": self._search_items(target, result, body.get("return_fields", False))})
 
@@ -867,14 +960,7 @@ class LynseServer:
         vec = self._decode_wire_vectors(
             body["vector"], body["dim"], body.get("wire_dtype", "float32")
         )[0]
-        result = await self._run(
-            coll.search, vec, k,
-            where=body.get("where"),
-            field_name=body.get("vector_field", "default"),
-            nprobe=int(body.get("nprobe", 10)),
-            approx=bool(body.get("approx", False)),
-            eps=float(body.get("eps", 1e-4)),
-        )
+        result = await self._coalesced_search(body, coll, vec)
         target = coll if body.get("vector_field", "default") == "default" else coll.vector_field(body["vector_field"])
         eids = target.internal_to_external(result.ids)
         int_safe = all(isinstance(e, int) for e in eids)

@@ -29,6 +29,8 @@ def rdb(rclient):
     return rclient.create_database("http_db", drop_if_exists=True)
 
 
+
+
 def test_remote_roundtrip(rdb, rng):
     coll = rdb.require_collection("c1", dim=8, drop_if_exists=True)
     vecs = rng.normal(size=(20, 8)).astype(np.float32)
@@ -229,3 +231,57 @@ def test_batch_search_binary_fast_path(rdb, rng):
     want = np.argsort(-(vecs[:4] @ vecs.T), axis=1)[:, :3]
     for b in range(4):
         assert out[b].ids.tolist() == want[b].tolist()
+
+
+def test_concurrent_search_microbatch(server, rdb, rng):
+    """Concurrent single-query /search requests coalesce into fused
+    batch_search dispatches (server-side micro-batching) and return the
+    same results as sequential searches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    coll = rdb.require_collection("cmb", dim=16, drop_if_exists=True)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    coll.add(list(range(200)), vectors=vecs)
+    coll.commit()
+
+    want = np.argsort(-(vecs[:32] @ vecs.T), axis=1)[:, :5]
+    stats = server.server.microbatch_stats
+    before = dict(stats)
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(lambda i: coll.search(vecs[i], k=5), range(32)))
+    for i, res in enumerate(results):
+        assert res.ids.tolist() == want[i].tolist()
+    q = stats["queries"] - before["queries"]
+    b = stats["batches"] - before["batches"]
+    assert q == 32
+    assert b < q  # at least some requests actually coalesced
+
+
+def test_concurrent_search_microbatch_mixed_params(rdb, rng):
+    """Different (k, where) groups never cross-contaminate under the
+    micro-batcher: filtered and unfiltered concurrent searches each see
+    their own result set."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    coll = rdb.require_collection("cmb2", dim=8, drop_if_exists=True)
+    vecs = rng.normal(size=(100, 8)).astype(np.float32)
+    coll.add(list(range(100)), vectors=vecs,
+             fields=[{"par": i % 2} for i in range(100)])
+    coll.commit()
+
+    def one(i):
+        if i % 2:
+            return i, coll.search(vecs[i], k=4, where="par = 1")
+        return i, coll.search(vecs[i], k=4)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, range(16)))
+    scores = vecs[:16] @ vecs.T
+    for i, res in results:
+        if i % 2:
+            mask = np.asarray([j % 2 == 1 for j in range(100)])
+            want = np.argsort(-np.where(mask, scores[i], -np.inf))[:4]
+            assert all(int(x) % 2 == 1 for x in res.ids.tolist())
+        else:
+            want = np.argsort(-scores[i])[:4]
+        assert res.ids.tolist() == want.tolist()

@@ -30,6 +30,7 @@ from ..ops.graph import (
     beam_search,
     beam_search_pq,
     build_vamana,
+    entry_scan,
     insert_points,
     reconnect_orphans,
     repair_deleted_edges,
@@ -66,6 +67,7 @@ class DiskANNIndex:
         self.alpha = alpha
         self._starts_np = starts if starts is not None else np.asarray([medoid], dtype=np.int32)
         self._graph_dev = None
+        self._entry_dev = None  # (sample_ids, sample_rows) for entry_scan
         # layered-mode artifacts (None when not layered)
         self.pq: Optional[PQ] = None
         self.pq_codes: Optional[np.ndarray] = None  # (built_rows, M) uint8
@@ -180,6 +182,34 @@ class DiskANNIndex:
             self._graph_dev = jnp.asarray(self.graph_np)
         return self._graph_dev
 
+    ENTRY_SAMPLE = 4096
+    ENTRY_TOP = 8
+
+    def _entry_state(self, coll):
+        """Fixed node sample for the per-query entry scan (2 MB at 4096x128
+        f32 — device-resident regardless of layered mode, since the sample
+        is tiny even when the full f32 corpus is not in HBM)."""
+        if self._entry_dev is None:
+            n = self.built_rows
+            rng = np.random.default_rng(1234 + n)
+            c = min(n, self.ENTRY_SAMPLE)
+            ids = (np.sort(rng.choice(n, size=c, replace=False))
+                   if c < n else np.arange(n)).astype(np.int32)
+            rows = coll.corpus().host_rows(ids.astype(np.int64)).astype(np.float32)
+            self._entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
+        return self._entry_dev
+
+    def _query_starts(self, coll, qj, live) -> jnp.ndarray:
+        """(B, S) per-query entry points: sampled entry scan ∪ the global
+        starts (medoid + high-norm rows for IP)."""
+        ids_d, rows_d = self._entry_state(coll)
+        per_q = entry_scan(qj, rows_d, ids_d, live,
+                           metric=self.metric, s=self.ENTRY_TOP)
+        fixed = jnp.broadcast_to(
+            jnp.asarray(self._starts_np.astype(np.int32))[None, :],
+            (per_q.shape[0], len(self._starts_np)))
+        return jnp.concatenate([per_q, fixed], axis=1)
+
     def _pq_device(self):
         if self._pq_dev is None:
             codes = self.pq_codes
@@ -196,6 +226,7 @@ class DiskANNIndex:
         beam = max(int(nprobe or 0), self.l, k)
         live = corpus.valid_mask(mask)[: self.built_rows]
         qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
+        starts = self._query_starts(coll, qj, live)
         if self.layered and metric in _PQ_METRIC_KIND:
             # PQ-guided beam + exact host-mirror rescore: no f32 corpus on
             # device (diskann.rs:602 + uses_store_rescore semantics). The
@@ -206,7 +237,7 @@ class DiskANNIndex:
             codes_d, books_d, row_sq_d = self._pq_device()
             _, pool, scanned = beam_search_pq(
                 qj, codes_d, books_d, row_sq_d, self._graph(),
-                jnp.asarray(self._starts_np.astype(np.int32)), live,
+                starts, live,
                 metric_kind=_PQ_METRIC_KIND[metric], beam=beam_pq,
                 max_steps=beam_pq * 2,
             )
@@ -218,7 +249,7 @@ class DiskANNIndex:
                 qj,
                 corpus._data[: self.built_rows].astype(jnp.float32),
                 self._graph(),
-                jnp.asarray(self._starts_np.astype(np.int32)),
+                starts,
                 live,
                 metric=metric,
                 beam=beam,
@@ -325,6 +356,7 @@ class DiskANNIndex:
 
         if changed:
             self._graph_dev = None
+            self._entry_dev = None  # sample must track the grown/culled corpus
             self.save(coll)
 
     def rebuild(self, coll) -> None:

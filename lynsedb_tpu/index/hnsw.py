@@ -152,8 +152,9 @@ class HNSWIndex:
         q2 = np.atleast_2d(q.astype(np.float32))
         entries = self._descend(q2, corpus)
         live = corpus.valid_mask(mask)[: self.built_rows]
-        # shared entry set: the per-query descents, deduped
-        starts = jnp.asarray(np.unique(entries).astype(np.int32))
+        # per-query entry points (B, 1): stable executable shape for any
+        # batch (a deduped shared set would recompile per distinct count)
+        starts = jnp.asarray(entries.astype(np.int32).reshape(-1, 1))
         keys, ids, scanned = beam_search(
             jnp.asarray(q2),
             dev["rows"],

@@ -60,11 +60,16 @@ def beam_search(
     QueryProfile.scanned_vectors)."""
     b, d = q.shape
     n, r = graph.shape
-    s = starts.shape[0]
+    # starts: (S,) shared entry points or (B, S) per-query entry points
+    # (per-query entries come from the index's sampled entry scan — one
+    # matmul that plays the role of HNSW's upper-layer descent)
+    starts_b = jnp.broadcast_to(starts[None, :], (b, starts.shape[0])) \
+        if starts.ndim == 1 else starts
+    s = starts_b.shape[1]
 
-    start_rows = corpus[starts]  # (S, D)
-    keys0 = _keyed_pairwise(q, start_rows, metric)  # (B, S)
-    keys0 = jnp.where(valid[starts][None, :], keys0, NEG_INF)
+    start_rows = corpus[starts_b]  # (B, S, D)
+    keys0 = jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(q, start_rows)
+    keys0 = jnp.where(valid[starts_b], keys0, NEG_INF)
 
     pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
     pool_keys = jnp.full((b, beam), NEG_INF)
@@ -72,7 +77,8 @@ def beam_search(
     # seed the pool
     top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
     pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
-    pool_ids = pool_ids.at[:, : top0.shape[1]].set(starts[idx0].astype(jnp.int32))
+    pool_ids = pool_ids.at[:, : top0.shape[1]].set(
+        jnp.take_along_axis(starts_b, idx0, axis=1).astype(jnp.int32))
 
     visited = jnp.zeros((b, n), dtype=bool)
     visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
@@ -176,17 +182,19 @@ def beam_search_pq(
             return 2.0 * ip - rs  # key(-l2) + const
         return ip * jax.lax.rsqrt(jnp.maximum(rs, 1e-30))  # cos + const scale
 
-    s = starts.shape[0]
-    starts_b = jnp.broadcast_to(starts[None, :], (b, s))
+    starts_b = jnp.broadcast_to(starts[None, :], (b, starts.shape[0])) \
+        if starts.ndim == 1 else starts
+    s = starts_b.shape[1]
     keys0 = keyed_ids(starts_b)
-    keys0 = jnp.where(valid[starts][None, :], keys0, NEG_INF)
+    keys0 = jnp.where(valid[starts_b], keys0, NEG_INF)
 
     pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
     pool_keys = jnp.full((b, beam), NEG_INF)
     pool_exp = jnp.zeros((b, beam), dtype=bool)
     top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
     pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
-    pool_ids = pool_ids.at[:, : top0.shape[1]].set(starts[idx0].astype(jnp.int32))
+    pool_ids = pool_ids.at[:, : top0.shape[1]].set(
+        jnp.take_along_axis(starts_b, idx0, axis=1).astype(jnp.int32))
 
     visited = jnp.zeros((b, n), dtype=bool)
     visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
@@ -227,6 +235,22 @@ def beam_search_pq(
     )
     pool_ids = jnp.where(pool_keys > NEG_INF, pool_ids, -1)
     return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("metric", "s"))
+def entry_scan(q: jnp.ndarray, sample_rows: jnp.ndarray,
+               sample_ids: jnp.ndarray, valid: jnp.ndarray,
+               *, metric: Metric, s: int) -> jnp.ndarray:
+    """Per-query graph entry points: exact-scan a fixed node sample (one
+    small matmul) and return each query's top-``s`` sample ids (B, s).
+    Plays the role of HNSW's upper-layer descent for single-layer graphs —
+    the reference's DiskANN enters at the medoid (diskann.rs:602), which
+    collapses recall for MIPS/clustered data; a sampled entry scan is the
+    batched TPU equivalent of a multi-start descent."""
+    keys = _keyed_pairwise(q, sample_rows, metric)  # (B, C)
+    keys = jnp.where(valid[sample_ids][None, :], keys, NEG_INF)
+    _, idx = jax.lax.top_k(keys, min(s, sample_ids.shape[0]))
+    return sample_ids[idx].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("metric",))

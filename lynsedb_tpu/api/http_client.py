@@ -380,6 +380,9 @@ class Collection:
     def flush(self) -> None:
         self._post("/flush", {})
 
+    def prewarm(self) -> float:
+        return float(self._post("/prewarm", {}).get("seconds", 0.0))
+
     def checkpoint(self) -> None:
         self._post("/checkpoint", {})
         self.COMMIT_FLAG = True

@@ -312,6 +312,11 @@ class LocalCollection:
     def flush(self) -> None:
         self._engine.flush()
 
+    def prewarm(self) -> float:
+        """Compile-warm the serving-shape executables (see
+        engine/collection.py prewarm). Returns seconds spent."""
+        return self._engine.prewarm()
+
     def checkpoint(self) -> None:
         self._engine.checkpoint()
         self.COMMIT_FLAG = True

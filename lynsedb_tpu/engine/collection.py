@@ -787,6 +787,37 @@ class Collection:
 
         return resolve
 
+    def prewarm(self) -> float:
+        """Fire every serving-shape executable once with dummy queries —
+        async-dispatched back-to-back, then one barrier — so a freshly
+        opened collection pays its first-execution compiles up front (and,
+        where the backend overlaps compiles of distinct executables,
+        concurrently) instead of on the first live queries. Covers the
+        BATCH_BUCKETS fused scans and the stream-window shapes; ANN indexes
+        warm their own kernels on their first search. Returns seconds
+        spent. Safe no-op on an empty collection."""
+        if self.n_rows == 0:
+            return 0.0
+        with self._lock:
+            t0 = time.perf_counter()
+            metric = self.metric
+            corpus = self.corpus()
+            dim = self.dim or corpus._data.shape[1]
+            resolvers = []
+            for b in (16, 64, 256):
+                qz = np.zeros((b, dim), np.float32)
+                resolvers.append((corpus.search_submit(qz, 10, metric), None))
+            if corpus.stream_supported(metric, None):
+                for w in (16, 128):
+                    seg = w * max(1, 128 // w)
+                    qz = np.zeros((seg, dim), np.float32)
+                    qdev = corpus.stream_stage_queries(qz)
+                    resolvers.append(
+                        (corpus.stream_submit(qdev, 0, w, 10, metric), qz[:w]))
+            for resolve, arg in resolvers:
+                resolve() if arg is None else resolve(arg)
+            return time.perf_counter() - t0
+
     def search_stream(
         self,
         vectors,

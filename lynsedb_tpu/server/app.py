@@ -303,6 +303,7 @@ class LynseServer:
         # durability
         r.add_post("/commit", self.commit)
         r.add_post("/flush", self.flush)
+        r.add_post("/prewarm", self.prewarm)
         r.add_post("/checkpoint", self.checkpoint)
         r.add_post("/close_collection", self.close_collection)
         # binary wire protocol (raw little-endian vectors + msgpack envelope —
@@ -918,6 +919,11 @@ class LynseServer:
         await self._run(self._coll(body).flush)
         return _success()
 
+    async def prewarm(self, request):
+        body = await self._body(request)
+        seconds = await self._run(self._coll(body).prewarm)
+        return _success({"seconds": seconds})
+
     async def checkpoint(self, request):
         body = await self._body(request)
         await self._run(self._coll(body).checkpoint)
@@ -1083,8 +1089,31 @@ def make_server(root_path: str, **kwargs) -> LynseServer:
     return LynseServer(root_path, **kwargs)
 
 
-def run_server(root_path: str, host: str = "127.0.0.1", port: int = 7637, **kwargs) -> None:
+def run_server(root_path: str, host: str = "127.0.0.1", port: int = 7637,
+               prewarm: bool = False, **kwargs) -> None:
     server = make_server(root_path, **kwargs)
+    if prewarm:
+        # fire every existing collection's serving-shape executables at
+        # startup so deferred server-side compiles happen before traffic
+        async def _prewarm(app):
+            import asyncio as _aio
+
+            loop = _aio.get_running_loop()
+
+            def _warm_all():
+                mgr = server.manager
+                for db_name in mgr.list_databases():
+                    db = mgr.get_database(db_name)
+                    for coll_name in db.list_collections():
+                        try:
+                            secs = db.get_collection(coll_name).prewarm()
+                            logger.info("prewarm %s/%s: %.1fs", db_name, coll_name, secs)
+                        except Exception:  # noqa: BLE001 — warmup must not kill startup
+                            logger.exception("prewarm failed for %s/%s", db_name, coll_name)
+
+            loop.run_in_executor(None, _warm_all)
+
+        server.app.on_startup.append(_prewarm)
     # internal binary RPC plane beside HTTP (reference: run_server spawns the
     # RPC listener unless disabled, server/mod.rs:5060)
     if not os.environ.get("LYNSE_DISABLE_INTERNAL_RPC"):

@@ -47,6 +47,10 @@ def _parse_args(argv=None) -> argparse.Namespace:
     run.add_argument("--max-collection-vectors", type=int,
                      default=_env_default("LYNSE_MAX_COLLECTION_VECTORS", 10_000_000, int))
     run.add_argument("--log-level", default=_env_default("LYNSE_LOG_LEVEL", "INFO"))
+    run.add_argument("--prewarm", action="store_true",
+                     default=bool(_env_default("LYNSE_PREWARM", "")),
+                     help="fire serving-shape executables for every existing "
+                          "collection at startup (hides deferred compiles)")
     # coordinator flags
     run.add_argument("--cluster-config", default=_env_default("LYNSE_CLUSTER_CONFIG"))
     run.add_argument("--coordinator-id", default=_env_default("LYNSE_COORDINATOR_ID", "coordinator-1"))
@@ -104,6 +108,7 @@ def main(argv=None) -> None:
         slow_query_warn_ms=args.slow_query_warn_ms,
         audit_log=args.audit_log,
         read_only=args.read_only,
+        prewarm=args.prewarm,
     )
 
 

@@ -285,3 +285,13 @@ def test_concurrent_search_microbatch_mixed_params(rdb, rng):
         else:
             want = np.argsort(-scores[i])[:4]
         assert res.ids.tolist() == want.tolist()
+
+
+def test_prewarm_route(rdb, rng):
+    coll = rdb.require_collection("cpw", dim=8, drop_if_exists=True)
+    coll.add(list(range(50)), vectors=rng.normal(size=(50, 8)).astype(np.float32))
+    coll.commit()
+    secs = coll.prewarm()
+    assert secs >= 0.0
+    res = coll.search(np.zeros(8, np.float32), k=3)
+    assert len(res.ids) == 3

@@ -658,11 +658,12 @@ class LocalCollection:
         )
         out = []
         for b in range(len(q)):
-            ids, fields = self._map_and_fields(res.ids[b], return_fields)
+            live = np.asarray(res.ids[b]) >= 0  # strip rectangular -1 pads
+            ids, fields = self._map_and_fields(np.asarray(res.ids[b])[live], return_fields)
             out.append(
                 ResultView(
                     ids=ids,
-                    distances=res.distances[b],
+                    distances=np.asarray(res.distances[b])[live],
                     fields=fields if return_fields else [],
                     k=len(ids),
                     distance=res.distance_metric,

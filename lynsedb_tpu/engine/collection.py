@@ -649,9 +649,12 @@ class Collection:
             eps=eps,
             profile=profile,
         )
+        # batch rows are rectangular (-1 padded when a row found < k);
+        # a single result strips its pads
+        live = np.asarray(res.ids[0]) >= 0
         return SearchResult(
-            ids=res.ids[0],
-            distances=res.distances[0],
+            ids=np.asarray(res.ids[0])[live],
+            distances=np.asarray(res.distances[0])[live],
             distance_metric=res.distance_metric,
             index_type=res.index_type,
             profile=res.profile,

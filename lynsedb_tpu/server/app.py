@@ -647,13 +647,17 @@ class LynseServer:
         return k
 
     def _search_items(self, coll, result, return_fields: bool) -> dict:
-        eids = coll.internal_to_external(result.ids)
+        ids = np.asarray(result.ids)
+        dists = np.asarray(result.distances)
+        live = ids >= 0  # strip rectangular -1 pads from per-row batch slices
+        ids, dists = ids[live], dists[live]
+        eids = coll.internal_to_external(ids)
         fields = (
-            [coll.fields.retrieve(int(i)) for i in result.ids] if return_fields else []
+            [coll.fields.retrieve(int(i)) for i in ids] if return_fields else []
         )
         return {
             "ids": eids,
-            "scores": [float(d) for d in result.distances],
+            "scores": [float(d) for d in dists],
             "fields": fields,
             "index_mode": coll.index_mode,
         }
@@ -968,14 +972,18 @@ class LynseServer:
         )[0]
         result = await self._coalesced_search(body, coll, vec)
         target = coll if body.get("vector_field", "default") == "default" else coll.vector_field(body["vector_field"])
-        eids = target.internal_to_external(result.ids)
+        iids = np.asarray(result.ids)
+        dists = np.asarray(result.distances)
+        live = iids >= 0  # strip rectangular -1 pads
+        iids, dists = iids[live], dists[live]
+        eids = target.internal_to_external(iids)
         int_safe = all(isinstance(e, int) for e in eids)
         payload = {
             "ids_binary": np.asarray(eids, dtype=np.int64).tobytes() if int_safe else None,
             "ids": None if int_safe else eids,
-            "distances": np.asarray(result.distances, dtype=np.float32).tobytes(),
+            "distances": np.asarray(dists, dtype=np.float32).tobytes(),
             "fields": (
-                [coll.fields.retrieve(int(i)) for i in result.ids]
+                [coll.fields.retrieve(int(i)) for i in iids]
                 if body.get("return_fields") else []
             ),
             "index_mode": coll.index_mode,
@@ -997,13 +1005,14 @@ class LynseServer:
         )
         out = []
         for b in range(len(vecs)):
-            eids = coll.internal_to_external(res.ids[b])
+            live = np.asarray(res.ids[b]) >= 0  # strip rectangular -1 pads
+            eids = coll.internal_to_external(np.asarray(res.ids[b])[live])
             int_safe = all(isinstance(e, int) for e in eids)
             out.append(
                 {
                     "ids_binary": np.asarray(eids, dtype=np.int64).tobytes() if int_safe else None,
                     "ids": None if int_safe else eids,
-                    "distances": np.asarray(res.distances[b], dtype=np.float32).tobytes(),
+                    "distances": np.asarray(res.distances[b], dtype=np.float32)[live].tobytes(),
                 }
             )
         return self._binary_response({"results": out, "index_mode": coll.index_mode})

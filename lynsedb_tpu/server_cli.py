@@ -51,6 +51,9 @@ def _parse_args(argv=None) -> argparse.Namespace:
                      default=bool(_env_default("LYNSE_PREWARM", "")),
                      help="fire serving-shape executables for every existing "
                           "collection at startup (hides deferred compiles)")
+    run.add_argument("--jax-platform", default=_env_default("LYNSE_JAX_PLATFORM"),
+                     help="pin the JAX backend (e.g. cpu, tpu); unlike the "
+                          "JAX_PLATFORMS env var this wins over device plugins")
     # coordinator flags
     run.add_argument("--cluster-config", default=_env_default("LYNSE_CLUSTER_CONFIG"))
     run.add_argument("--coordinator-id", default=_env_default("LYNSE_COORDINATOR_ID", "coordinator-1"))
@@ -71,6 +74,10 @@ def _parse_args(argv=None) -> argparse.Namespace:
 
 def main(argv=None) -> None:
     args = _parse_args(argv)
+    if getattr(args, "jax_platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.jax_platform)
     import logging
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), logging.INFO))

@@ -615,6 +615,41 @@ class LocalCollection:
             },
         )
 
+    def hybrid_search_stream(
+        self,
+        vectors=None,
+        texts: Optional[List[str]] = None,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        text_fields: Optional[List[str]] = None,
+        fusion: str = "rrf",
+        vector_weight: float = 1.0,
+        text_weight: float = 1.0,
+        rrf_k: float = 60.0,
+        candidate_limit: Optional[int] = None,
+        nprobe: int = 10,
+    ) -> List[ResultView]:
+        """Pipelined hybrid stream: one fused batched device dispatch for all
+        vector scans, BM25 host scoring overlapped (engine
+        hybrid_search_stream). Throughput-oriented twin of hybrid_search."""
+        vecs = None if vectors is None else np.ascontiguousarray(
+            np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
+        results = self._engine.hybrid_search_stream(
+            vectors=vecs, texts=texts, k=k, where=where,
+            text_fields=text_fields, fusion=fusion,
+            vector_weight=vector_weight, text_weight=text_weight,
+            rrf_k=rrf_k, candidate_limit=candidate_limit or 0, nprobe=nprobe,
+        )
+        out = []
+        for res in results:
+            ids, _ = self._map_and_fields(res.ids, False)
+            out.append(ResultView(
+                ids=ids, distances=res.distances, fields=[], k=len(ids),
+                distance=res.distance_metric, index=res.index_type,
+                result_type="search"))
+        return out
+
     def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10,
                        reranker=None, rerank_k: Optional[int] = None) -> dict:
         """Per-query explain (reference: engine.rs:5005 search_with_profile).

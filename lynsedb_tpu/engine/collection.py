@@ -1272,17 +1272,6 @@ class Collection:
         if vector is None and (query_text is None or not str(query_text).strip()):
             raise InvalidArgument("hybrid_search requires a vector, text, or both")
         candidate_limit = max(candidate_limit, k, 1)
-        fused: dict[int, float] = {}
-
-        def add_scores(ids, scores, weight):
-            weight = max(float(weight), 0.0)
-            use_weighted = fusion.lower() == "weighted"
-            for rank, iid in enumerate(ids):
-                if use_weighted:
-                    contribution = (scores[rank] if rank < len(scores) else 0.0) * weight
-                else:
-                    contribution = weight / (max(rrf_k, 1.0) + rank + 1.0)
-                fused[int(iid)] = fused.get(int(iid), 0.0) + contribution
 
         # dispatch the vector scan asynchronously when the flat path applies,
         # so the BM25 host scoring overlaps the device scan (the reference
@@ -1298,6 +1287,25 @@ class Collection:
             tres = self.text_search(query_text, candidate_limit, text_fields=text_fields, where=where)
         if v_resolver is not None:
             vres = v_resolver()
+        return self._fuse_hybrid(vres, tres, k, fusion=fusion,
+                                 vector_weight=vector_weight,
+                                 text_weight=text_weight, rrf_k=rrf_k)
+
+    def _fuse_hybrid(self, vres, tres, k: int, *, fusion: str,
+                     vector_weight: float, text_weight: float,
+                     rrf_k: float) -> SearchResult:
+        fused: dict[int, float] = {}
+
+        def add_scores(ids, scores, weight):
+            weight = max(float(weight), 0.0)
+            use_weighted = fusion.lower() == "weighted"
+            for rank, iid in enumerate(ids):
+                if use_weighted:
+                    contribution = (scores[rank] if rank < len(scores) else 0.0) * weight
+                else:
+                    contribution = weight / (max(rrf_k, 1.0) + rank + 1.0)
+                fused[int(iid)] = fused.get(int(iid), 0.0) + contribution
+
         if vres is not None:
             add_scores(vres.ids, _normalize_scores(vres.distances, self.metric.ascending),
                        vector_weight)
@@ -1312,3 +1320,93 @@ class Collection:
             distance_metric=mode.split("-")[1],
             index_type=mode,
         )
+
+    def hybrid_search_stream(
+        self,
+        vectors=None,
+        texts=None,
+        k: int = 10,
+        *,
+        where: Optional[str] = None,
+        text_fields=None,
+        fusion: str = "rrf",
+        vector_weight: float = 1.0,
+        text_weight: float = 1.0,
+        rrf_k: float = 60.0,
+        candidate_limit: int = 0,
+        nprobe: int = 10,
+    ) -> list[SearchResult]:
+        """Pipelined hybrid stream: ALL vector scans go to the device as
+        fused batched dispatches up front, the per-query BM25 host scoring
+        runs while the device works, and fusion happens as results resolve.
+        A sequential hybrid loop pays one dispatch chain per query; the
+        stream pays a handful for the whole batch — the same TPU-native
+        shape as search_stream, applied to the hybrid plane."""
+        if vectors is None and texts is None:
+            raise InvalidArgument("hybrid_search_stream requires vectors, texts, or both")
+        n_q = len(vectors) if vectors is not None else len(texts)
+        if texts is not None and len(texts) != n_q:
+            raise InvalidArgument("vectors and texts must have matching lengths")
+        candidate_limit = max(candidate_limit, k, 1)
+
+        v_resolvers: list = [None] * n_q
+        vres_now: list = [None] * n_q
+        if vectors is not None:
+            q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
+            flat = self._index is None and self._aux_index is None and self.n_rows > 0
+            if flat:
+                with self._lock:
+                    metric = self.metric
+                    handle = self.resolve_filter(where)
+                    corpus = self.corpus()
+                    # batched async dispatches (bucketed shapes), no sync yet
+                    step = 256
+                    subs = []
+                    for lo in range(0, n_q, step):
+                        subs.append((lo, corpus.search_submit(
+                            q[lo : lo + step], candidate_limit, metric,
+                            filter_mask=handle)))
+
+                def make_resolver(lo, shared):
+                    def resolve(i=None):
+                        if shared.get("out") is None:
+                            shared["out"] = shared["resolver"]()
+                        dists, ids = shared["out"]
+                        row = i - lo
+                        return SearchResult(
+                            ids=ids[row], distances=dists[row],
+                            distance_metric=metric.display_name,
+                            index_type=self.index_type)
+                    return resolve
+
+                for lo, resolver in subs:
+                    shared = {"resolver": resolver, "out": None}
+                    r = make_resolver(lo, shared)
+                    for i in range(lo, min(lo + step, n_q)):
+                        v_resolvers[i] = r
+            else:
+                for i in range(n_q):
+                    vres_now[i] = self.search(q[i], candidate_limit, where=where, nprobe=nprobe)
+
+        # BM25 host scoring overlaps the in-flight device scans
+        tres: list = [None] * n_q
+        if texts is not None:
+            for i, txt in enumerate(texts):
+                if txt and str(txt).strip():
+                    tres[i] = self.text_search(
+                        txt, candidate_limit, text_fields=text_fields, where=where)
+
+        out = []
+        for i in range(n_q):
+            vres = vres_now[i] if v_resolvers[i] is None else v_resolvers[i](i)
+            if vres is not None:
+                live = np.asarray(vres.ids) >= 0
+                vres = SearchResult(
+                    ids=np.asarray(vres.ids)[live],
+                    distances=np.asarray(vres.distances)[live],
+                    distance_metric=vres.distance_metric,
+                    index_type=vres.index_type)
+            out.append(self._fuse_hybrid(
+                vres, tres[i], k, fusion=fusion, vector_weight=vector_weight,
+                text_weight=text_weight, rrf_k=rrf_k))
+        return out

@@ -139,3 +139,30 @@ def test_hybrid_weighted(text_collection, rng):
     # normalization maps the weakest match to 0, like the reference)
     assert res.ids.tolist()[0] == 1
     assert res.distances[0] == 1.0
+
+
+def test_hybrid_search_stream_matches_sequential(tmp_path, rng):
+    import lynsedb_tpu as lynse
+
+    client = lynse.VectorDBClient(str(tmp_path / "hybs"))
+    db = client.create_database("d")
+    coll = db.require_collection("c", dim=12)
+    v = rng.normal(size=(300, 12)).astype(np.float32)
+    words = ["alpha", "beta", "gamma", "delta"]
+    coll.add(list(range(300)), vectors=v,
+             fields=[{"t": f"{words[i % 4]} doc{i}"} for i in range(300)])
+    coll.commit()
+
+    qs = v[:8] + rng.normal(0, 0.01, size=(8, 12)).astype(np.float32)
+    texts = [words[i % 4] for i in range(8)]
+    stream = coll.hybrid_search_stream(qs, texts, k=5)
+    for i in range(8):
+        seq = coll.hybrid_search(qs[i], texts[i], k=5)
+        assert [int(x) for x in stream[i].ids] == [int(x) for x in seq.ids]
+        np.testing.assert_allclose(stream[i].distances, seq.distances, rtol=1e-6)
+    # text-only and vector-only streams also work
+    t_only = coll.hybrid_search_stream(None, texts, k=5)
+    assert len(t_only) == 8 and all(len(r.ids) > 0 for r in t_only)
+    v_only = coll.hybrid_search_stream(qs, None, k=5)
+    assert len(v_only) == 8 and all(len(r.ids) == 5 for r in v_only)
+    client.close()

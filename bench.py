@@ -191,6 +191,15 @@ def main() -> None:
             collh.hybrid_search(vector=queries[i], text=f"{words[i % 10]} doc", k=K)
         hyb_ms = (time.perf_counter() - t0) / 20 * 1e3
         log(f"hybrid search (100k, vector+bm25 rrf): {hyb_ms:.3f} ms | QPS {1e3 / hyb_ms:,.0f}")
+        # pipelined hybrid stream: all vector scans batched to the device,
+        # BM25 overlapped — the throughput axis of the hybrid plane
+        htexts = [f"{words[i % 10]} doc" for i in range(96)]
+        collh.hybrid_search_stream(queries[:96], htexts, k=K)  # warm
+        t0 = time.perf_counter()
+        collh.hybrid_search_stream(queries[:96], htexts, k=K)
+        hyb_stream_ms = (time.perf_counter() - t0) / 96 * 1e3
+        log(f"hybrid search pipelined (96-stream): {hyb_stream_ms:.3f} ms/query "
+            f"| QPS {1e3 / hyb_stream_ms:,.0f}")
 
         # ── embedded startup (reference 2.087 ms, benchmarks.md:176):
         #    client + collection handle open on existing data, no search ───
@@ -246,6 +255,15 @@ def main() -> None:
 
         client.close()
 
+    # both comparison axes, stated plainly (the reference's 6.013 ms is a
+    # sequential mean): like-for-like sequential latency AND pipelined
+    # throughput. The JSON headline is the throughput axis; the log line
+    # above it records the latency axis so neither number travels alone.
+    log(
+        f"axes vs reference 6.013 ms sequential: sequential latency ratio "
+        f"{BASELINE_SEARCH_MS / seq_ms:.2f}x | pipelined QPS ratio "
+        f"{BASELINE_SEARCH_MS / mean_ms:.2f}x"
+    )
     print(
         json.dumps(
             {

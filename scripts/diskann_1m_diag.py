@@ -62,6 +62,7 @@ def main():
     client = lynse.VectorDBClient(str(PERSIST / "db"))
     coll = client.get_database("diag").get_collection("c")
     eng = coll._engine
+    eng._search_cache.enabled = False  # identical probe queries must re-run
     idx = eng._index
     print(f"index: {type(idx).__name__} layered={idx.layered} r={idx.r} "
           f"built={idx.built_rows}", flush=True)

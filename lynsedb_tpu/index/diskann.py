@@ -28,6 +28,7 @@ import numpy as np
 from ..metrics import Metric
 from ..ops.graph import (
     beam_search,
+    beam_search_bf16,
     beam_search_pq,
     build_vamana,
     entry_scan,
@@ -227,18 +228,36 @@ class DiskANNIndex:
         live = corpus.valid_mask(mask)[: self.built_rows]
         qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
         starts = self._query_starts(coll, qj, live)
-        if self.layered and metric in _PQ_METRIC_KIND:
-            # PQ-guided beam + exact host-mirror rescore: no f32 corpus on
-            # device (diskann.rs:602 + uses_store_rescore semantics). The
-            # PQ proxy smears the ranking, so the walk runs with a 2x pool
-            # and the exact rescore recovers the order (beam=150 measured
-            # 0.75 recall vs 0.95 at 2x on 30k clustered rows)
+        guided = _PQ_METRIC_KIND.get(metric)
+        # _force_pq: test hook to exercise the streaming PQ tier without a
+        # >HBM corpus (the dispatch below is otherwise driven by residency)
+        use_bf16 = guided and not corpus.streaming and not getattr(self, "_force_pq", False)
+        if use_bf16:
+            # bf16-guided beam + exact host-mirror rescore: the centered
+            # bf16 scan array is already HBM-resident for the flat path, so
+            # guidance runs at bf16 precision (graph-quality-limited: 1M
+            # measured 0.954 exact-beam vs 0.532 PQ-guided at beam=150 —
+            # PQ guidance is reserved for streaming corpora below)
+            aux = corpus.bf16_aux()
+            _, pool, scanned = beam_search_bf16(
+                qj, corpus.data16, aux["mean"], aux["xm"], aux["xc_sq"],
+                aux["xsq_true"], self._graph(), starts, live,
+                metric_kind=guided, beam=beam, max_steps=beam * 2,
+            )
+            ids = np.asarray(pool, dtype=np.int64)
+            self.last_scanned = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
+            dists = corpus.rescore(np.atleast_2d(q.astype(np.float32)), ids, metric)
+        elif self.layered and guided:
+            # streaming (>HBM) tier: PQ-guided beam, exact rescore from the
+            # host mirror (diskann.rs:602 + uses_store_rescore semantics).
+            # The PQ proxy smears the ranking, so the walk runs with a 2x
+            # pool and the exact rescore recovers the order
             beam_pq = 2 * beam
             codes_d, books_d, row_sq_d = self._pq_device()
             _, pool, scanned = beam_search_pq(
                 qj, codes_d, books_d, row_sq_d, self._graph(),
                 starts, live,
-                metric_kind=_PQ_METRIC_KIND[metric], beam=beam_pq,
+                metric_kind=guided, beam=beam_pq,
                 max_steps=beam_pq * 2,
             )
             ids = np.asarray(pool, dtype=np.int64)
@@ -247,7 +266,7 @@ class DiskANNIndex:
         else:
             keys, ids, scanned = beam_search(
                 qj,
-                corpus._data[: self.built_rows].astype(jnp.float32),
+                corpus._data,
                 self._graph(),
                 starts,
                 live,

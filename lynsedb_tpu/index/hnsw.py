@@ -20,9 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..metrics import Metric
-from ..ops.graph import beam_search, build_vamana, exact_knn_graph, insert_points
+from ..ops.graph import (
+    beam_search,
+    beam_search_bf16,
+    build_vamana,
+    exact_knn_graph,
+    insert_points,
+)
 from ..storage.vector_store import write_atomic
-from .diskann import _finalize_ranked
+from .diskann import _PQ_METRIC_KIND, _finalize_ranked
 
 DEFAULT_M = 16
 DEFAULT_EF_CONSTRUCTION = 128
@@ -123,9 +129,13 @@ class HNSWIndex:
 
     def _device(self, corpus):
         if self._dev is None:
+            # upper-layer rows gathered from the HOST mirror: staging them
+            # from device f32 would force the 2x-HBM f32 corpus copy just to
+            # read a few thousand subsample rows
             self._dev = {
                 "layer0": jnp.asarray(self.layer0_np),
-                "rows": corpus._data[: self.built_rows].astype(jnp.float32),
+                "upper_rows": [jnp.asarray(corpus.host_rows(layer["nodes"]))
+                               for layer in self.upper],
             }
         return self._dev
 
@@ -134,10 +144,10 @@ class HNSWIndex:
         the subsample nodes — small matmuls, no pointer chasing."""
         from ..ops import distance as D
 
+        dev = self._device(corpus)
         best = np.full(q.shape[0], self.entry, dtype=np.int32)
-        for layer in self.upper:
+        for layer, rows in zip(self.upper, dev["upper_rows"]):
             nodes = layer["nodes"]
-            rows = corpus._data[jnp.asarray(nodes)].astype(jnp.float32)
             qt = D.query_transform(jnp.asarray(q), self.metric)
             scores = np.asarray(D.pairwise(qt, D.corpus_transform(rows, self.metric), self.metric))
             pick = np.argmin(scores, axis=1) if self.metric.ascending else np.argmax(scores, axis=1)
@@ -155,21 +165,38 @@ class HNSWIndex:
         # per-query entry points (B, 1): stable executable shape for any
         # batch (a deduped shared set would recompile per distinct count)
         starts = jnp.asarray(entries.astype(np.int32).reshape(-1, 1))
-        keys, ids, scanned = beam_search(
-            jnp.asarray(q2),
-            dev["rows"],
-            dev["layer0"],
-            starts,
-            live,
-            metric=metric,
-            beam=ef,
-            max_steps=ef * 2,
-            k=k,
-        )
-        self.last_scanned = int(np.asarray(scanned).max(initial=0))
-        keys = np.asarray(keys)
-        ids = np.asarray(ids, dtype=np.int64)
-        dists = -keys if metric.ascending else keys
+        qj = jnp.asarray(q2)
+        guided = _PQ_METRIC_KIND.get(metric)
+        if guided and not corpus.streaming:
+            # bf16-guided beam over the resident scan array + exact
+            # host-mirror rescore of the full ef pool (same layered-search
+            # design as DiskANN; the beam keys are proxies, the returned
+            # distances are exact f32)
+            aux = corpus.bf16_aux()
+            _, pool, scanned = beam_search_bf16(
+                qj, corpus.data16, aux["mean"], aux["xm"], aux["xc_sq"],
+                aux["xsq_true"], dev["layer0"], starts, live,
+                metric_kind=guided, beam=ef, max_steps=ef * 2,
+            )
+            self.last_scanned = int(np.asarray(scanned).max(initial=0))
+            ids = np.asarray(pool, dtype=np.int64)
+            dists = corpus.rescore(q2, ids, metric)
+        else:
+            keys, ids, scanned = beam_search(
+                qj,
+                corpus._data,
+                dev["layer0"],
+                starts,
+                live,
+                metric=metric,
+                beam=ef,
+                max_steps=ef * 2,
+                k=k,
+            )
+            self.last_scanned = int(np.asarray(scanned).max(initial=0))
+            keys = np.asarray(keys)
+            ids = np.asarray(ids, dtype=np.int64)
+            dists = -keys if metric.ascending else keys
 
         if self.built_rows < coll.n_rows:
             tail_mask = np.zeros(coll.n_rows, dtype=bool)

@@ -237,6 +237,107 @@ def beam_search_pq(
     return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps"))
+def beam_search_bf16(
+    q: jnp.ndarray,  # (B, D) f32
+    dev16: jnp.ndarray,  # (cap, D) bf16, MEAN-CENTERED rows (DeviceCorpus.data16)
+    mean: jnp.ndarray,  # (D,) f32 corpus mean
+    xm: jnp.ndarray,  # (cap,) f32 mean.(x-mean) per row
+    xc_sq: jnp.ndarray,  # (cap,) f32 centered-row squared norms
+    xsq_true: jnp.ndarray,  # (cap,) f32 true squared norms (cos only)
+    graph: jnp.ndarray,  # (N, R) int32, -1 padded
+    starts: jnp.ndarray,  # (S,) or (B, S) int32 entry points
+    valid: jnp.ndarray,  # (N,) bool
+    *,
+    metric_kind: str,  # "ip" | "l2" | "cos"
+    beam: int,
+    max_steps: int,
+):
+    """Beam search guided by the RESIDENT centered-bf16 scan array.
+
+    The high-precision tier of the layered design (reference: diskann.rs:276
+    — the reference walks PQ codes because its exact rows live on SSD; here
+    the bf16 scan copy is already in HBM for the flat path, so when the
+    corpus fits the device budget the beam is guided at bf16 precision and
+    only falls back to PQ guidance in streaming mode). Ranking corrections
+    mirror ops/scan._bf16_scores: per-query-constant terms are dropped, the
+    engine exact-rescores the returned pool from the host f32 mirror
+    (uses_store_rescore semantics, vector_store.rs:611).
+
+    Returns (keys (B, beam), ids (B, beam), scanned (B,)) — the FULL pool,
+    best-first in proxy key space; ids == -1 where the pool ran dry.
+    """
+    b, d = q.shape
+    n, r = graph.shape
+    qc = q - mean[None, :]  # (B, D) f32
+    qc16 = qc.astype(jnp.bfloat16)
+    q_dot_mean = jnp.sum(q * mean[None, :], axis=-1, keepdims=True)  # (B, 1)
+
+    def keyed_ids(node_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, C) node ids -> oriented proxy keys (bigger = better)."""
+        rows = dev16[node_ids]  # (B, C, D) bf16
+        ip_c = jnp.einsum("bd,bcd->bc", qc16, rows,
+                          preferred_element_type=jnp.float32)
+        if metric_kind == "ip":
+            return ip_c + xm[node_ids]  # + q.mean (const, dropped)
+        if metric_kind == "l2":
+            return 2.0 * ip_c - xc_sq[node_ids]  # key(-l2) + const
+        num = ip_c + xm[node_ids] + q_dot_mean
+        return num * jax.lax.rsqrt(jnp.maximum(xsq_true[node_ids], 1e-30))
+
+    starts_b = jnp.broadcast_to(starts[None, :], (b, starts.shape[0])) \
+        if starts.ndim == 1 else starts
+    s = starts_b.shape[1]
+    keys0 = jnp.where(valid[starts_b], keyed_ids(starts_b), NEG_INF)
+
+    pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
+    pool_keys = jnp.full((b, beam), NEG_INF)
+    pool_exp = jnp.zeros((b, beam), dtype=bool)
+    top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
+    pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
+    pool_ids = pool_ids.at[:, : top0.shape[1]].set(
+        jnp.take_along_axis(starts_b, idx0, axis=1).astype(jnp.int32))
+
+    visited = jnp.zeros((b, n), dtype=bool)
+    visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
+
+    def step(state):
+        pool_ids, pool_keys, pool_exp, visited, steps = state
+        cand_key = jnp.where(pool_exp | (pool_ids < 0), NEG_INF, pool_keys)
+        best = jnp.argmax(cand_key, axis=1)
+        best_id = pool_ids[jnp.arange(b), best]
+        has_work = cand_key[jnp.arange(b), best] > NEG_INF
+        pool_exp = pool_exp.at[jnp.arange(b), best].set(True)
+
+        nbrs = graph[jnp.maximum(best_id, 0)]  # (B, R)
+        nbr_ok = (nbrs >= 0) & has_work[:, None]
+        safe_nbrs = jnp.maximum(nbrs, 0)
+        seen = visited[jnp.arange(b)[:, None], safe_nbrs]
+        fresh = nbr_ok & ~seen
+        visited = visited.at[jnp.arange(b)[:, None], safe_nbrs].set(
+            visited[jnp.arange(b)[:, None], safe_nbrs] | fresh
+        )
+        keys = jnp.where(fresh & valid[safe_nbrs], keyed_ids(safe_nbrs), NEG_INF)
+
+        all_keys = jnp.concatenate([pool_keys, keys], axis=1)
+        all_ids = jnp.concatenate([pool_ids, jnp.where(fresh, nbrs, -1)], axis=1)
+        all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
+        top_keys, pos = jax.lax.top_k(all_keys, beam)
+        gather = lambda a: jnp.take_along_axis(a, pos, axis=1)  # noqa: E731
+        return gather(all_ids), top_keys, gather(all_exp), visited, steps + 1
+
+    def cond(state):
+        pool_ids, pool_keys, pool_exp, visited, steps = state
+        unexpanded = (~pool_exp) & (pool_ids >= 0) & (pool_keys > NEG_INF)
+        return (steps < max_steps) & jnp.any(unexpanded)
+
+    pool_ids, pool_keys, pool_exp, visited, _ = jax.lax.while_loop(
+        cond, step, (pool_ids, pool_keys, pool_exp, visited, jnp.int32(0))
+    )
+    pool_ids = jnp.where(pool_keys > NEG_INF, pool_ids, -1)
+    return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("metric", "s"))
 def entry_scan(q: jnp.ndarray, sample_rows: jnp.ndarray,
                sample_ids: jnp.ndarray, valid: jnp.ndarray,

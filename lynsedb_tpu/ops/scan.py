@@ -925,6 +925,16 @@ class DeviceCorpus:
         """Exact f32 rows from the host mirror (no device traffic)."""
         return self._host[np.asarray(row_ids, dtype=np.int64)]
 
+    @property
+    def data16(self) -> jnp.ndarray:
+        """The staged mean-centered bf16 scan array (cap, D). Graph beams
+        gather guidance rows from this (with the bf16_aux rank-1
+        corrections) instead of forcing the 2x-HBM f32 copy."""
+        self._ensure_staged()
+        if self.streaming or self._dev16 is None:
+            raise ValueError("bf16 device array unavailable (streaming or empty corpus)")
+        return self._dev16
+
     def bf16_aux(self) -> dict:
         """Device aux arrays for the centered bf16 proxies: mean (D,),
         xm (cap,), xc_sq (cap,), xsq_true (cap,) — see _bf16_scores."""

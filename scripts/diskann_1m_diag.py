@@ -62,7 +62,7 @@ def main():
     client = lynse.VectorDBClient(str(PERSIST / "db"))
     coll = client.get_database("diag").get_collection("c")
     eng = coll._engine
-    eng._search_cache.enabled = False  # identical probe queries must re-run
+    eng._search_cache.max_size = 0  # identical probe queries must re-run
     idx = eng._index
     print(f"index: {type(idx).__name__} layered={idx.layered} r={idx.r} "
           f"built={idx.built_rows}", flush=True)

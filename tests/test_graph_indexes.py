@@ -239,10 +239,13 @@ def test_hnsw_incremental_insert_holds_recall(db, rng):
     assert hits / (15 * k) >= 0.9
 
 
-def test_diskann_layered_pq_beam(db, graph_data, monkeypatch):
-    """Layered mode (reference diskann.rs:276/:602): PQ-guided beam + exact
+@pytest.mark.parametrize("tier", ["bf16", "pq"])
+def test_diskann_layered_pq_beam(db, graph_data, monkeypatch, tier):
+    """Layered mode (reference diskann.rs:276/:602): guided beam + exact
     host-mirror rescore. The f32 corpus must never be staged on device, so
-    the index keeps working when the corpus exceeds the device budget."""
+    the index keeps working when the corpus exceeds the device budget.
+    tier=bf16 is the resident-corpus guidance; tier=pq forces the streaming
+    (>HBM) PQ guidance through the same engine path."""
     import lynsedb_tpu.index.diskann as da
 
     monkeypatch.setattr(da, "LAYERED_MIN_ROWS", 1000)
@@ -253,6 +256,8 @@ def test_diskann_layered_pq_beam(db, graph_data, monkeypatch):
     coll.build_index("DISKANN-L2")
     idx = coll._engine._index
     assert idx.layered and idx.pq_codes.shape == (len(data), idx.pq.m)
+    if tier == "pq":
+        idx._force_pq = True
 
     corpus = coll._engine.corpus()
     corpus._dev32 = None  # drop anything staged during build
@@ -294,3 +299,73 @@ def test_diskann_layered_insert_and_reload(db, graph_data, rng, monkeypatch):
     assert eng._index is not None and eng._index.layered
     assert eng._index.pq_codes.shape[0] == 2050
     eng.close()
+
+
+@pytest.mark.parametrize("metric,kind", [
+    (Metric.L2, "l2"), (Metric.IP, "ip"), (Metric.COSINE, "cos"),
+])
+def test_beam_search_bf16_matches_f32_pool(rng, metric, kind):
+    """The bf16-guided beam (the resident-corpus guidance tier) must find
+    essentially the same neighbors as the f32 beam on the same graph: the
+    centered-bf16 proxy + rank-1 corrections preserve ranking (the same
+    contract ops/scan's fused flat pass relies on)."""
+    from lynsedb_tpu.ops.graph import beam_search_bf16
+
+    n, d = 1500, 32
+    x = rng.normal(size=(n, d)).astype(np.float32) + 3.0  # offset: centering matters
+    graph = build_vamana(jnp.asarray(x), metric, r=12, l_build=48)
+    q = (rng.normal(size=(5, d)) + 3.0).astype(np.float32)
+    starts = jnp.asarray([0, 7], dtype=jnp.int32)
+    valid = jnp.ones(n, dtype=bool)
+
+    mean = x.mean(axis=0)
+    xc = x - mean[None, :]
+    x16 = jnp.asarray(xc, dtype=jnp.bfloat16)
+    xm = jnp.asarray(xc @ mean)
+    xc_sq = jnp.asarray((xc * xc).sum(1))
+    xsq_true = jnp.asarray((x * x).sum(1))
+
+    _, pool, scanned = beam_search_bf16(
+        jnp.asarray(q), x16, jnp.asarray(mean), xm, xc_sq, xsq_true,
+        jnp.asarray(graph), starts, valid,
+        metric_kind=kind, beam=48, max_steps=96,
+    )
+    pool = np.asarray(pool)
+    assert (np.asarray(scanned) > 0).all()
+
+    keys32, ids32, _ = beam_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(graph), starts, valid,
+        metric=metric, beam=48, max_steps=96, k=10,
+    )
+    ids32 = np.asarray(ids32)
+    # the f32 beam's top-10 must be contained in the bf16 pool (the engine
+    # exact-rescores the pool, so containment == equal final results)
+    for i in range(5):
+        want = set(int(v) for v in ids32[i] if v >= 0)
+        got = set(int(v) for v in pool[i] if v >= 0)
+        inter = len(want & got) / max(len(want), 1)
+        assert inter >= 0.9, f"q{i}: bf16 pool lost f32 winners ({inter:.2f})"
+
+
+def test_beam_search_bf16_respects_valid_mask(rng):
+    from lynsedb_tpu.ops.graph import beam_search_bf16
+
+    n, d = 600, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    graph = build_vamana(jnp.asarray(x), Metric.L2, r=8, l_build=32)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[::2] = False  # only odd ids allowed
+    mean = x.mean(axis=0)
+    xc = x - mean[None, :]
+    _, pool, _ = beam_search_bf16(
+        jnp.asarray(q), jnp.asarray(xc, dtype=jnp.bfloat16), jnp.asarray(mean),
+        jnp.asarray(xc @ mean), jnp.asarray((xc * xc).sum(1)),
+        jnp.asarray((x * x).sum(1)), jnp.asarray(graph),
+        jnp.asarray([1], dtype=jnp.int32), jnp.asarray(valid),
+        metric_kind="l2", beam=32, max_steps=64,
+    )
+    pool = np.asarray(pool)
+    live = pool[pool >= 0]
+    assert len(live) > 0
+    assert (live % 2 == 1).all(), "filtered-out ids leaked into the pool"

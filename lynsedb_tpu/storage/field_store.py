@@ -213,6 +213,7 @@ class FieldStore(ColumnProvider):
 
     def query_mask(self, where: Optional[str]) -> np.ndarray:
         """Compile + evaluate a where string into a bool row mask."""
+        self._ensure_loaded()  # a filtered query may be the FIRST touch after open
         n = len(self._rows)
         if where is None or not str(where).strip():
             return np.ones(n, dtype=bool)

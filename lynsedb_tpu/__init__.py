@@ -135,6 +135,25 @@ class VectorDBClient:
             return database_name in self.list_databases()
         return self._manager.database_exists(database_name)
 
+    def restore_database(self, snapshot_path, database_name: str):
+        """Materialize a database snapshot under a new database name
+        (reference: python/lynse/api client restore surface; engine.rs:7249)."""
+        if self._is_remote:
+            self._session.post(
+                "/restore_database",
+                json={
+                    "snapshot_path": str(snapshot_path),
+                    "database_name": database_name,
+                },
+            ).raise_for_error()
+            from .api.http_client import HTTPClient
+
+            return HTTPClient(self._session, database_name)
+        self._manager.restore_database_from_snapshot(snapshot_path, database_name)
+        from .api.local_client import LocalClient
+
+        return LocalClient(self._manager, database_name)
+
     def close(self) -> None:
         if self._is_remote:
             self._session.close()

@@ -75,10 +75,14 @@ def _wire_np_dtype(wire_dtype: str):
 
 def _id_array(ids: list) -> np.ndarray:
     arr = np.array(ids, dtype=object)
-    try:
-        return arr.astype(np.int64)
-    except (TypeError, ValueError, OverflowError):
-        return arr
+    # only collapse to int64 when every id IS an int — numpy's astype would
+    # silently parse the string id "1" into the int 1
+    if all(type(e) is int for e in ids):
+        try:
+            return arr.astype(np.int64)
+        except (TypeError, ValueError, OverflowError):
+            return arr
+    return arr
 
 
 class HTTPClient:

@@ -365,6 +365,10 @@ class LocalCollection:
     def list_fields(self) -> list:
         return self._engine.fields.list_fields()
 
+    @property
+    def description(self):
+        return self._engine.description
+
     def update_description(self, description: str) -> None:
         self._engine.description = description
         self._engine._write_config()
@@ -402,10 +406,13 @@ class LocalCollection:
     def _map_and_fields(self, internal_ids, fetch_fields: bool):
         eids = self._engine.internal_to_external(np.asarray(internal_ids))
         arr = np.array(eids, dtype=object)
-        try:
-            arr = arr.astype(np.int64)
-        except (TypeError, ValueError, OverflowError):
-            pass
+        # only collapse to int64 when every id IS an int — numpy's astype
+        # would happily parse the string id "1" into the int 1
+        if all(type(e) is int for e in eids):
+            try:
+                arr = arr.astype(np.int64)
+            except (TypeError, ValueError, OverflowError):
+                pass
         fields = self._engine.fields.retrieve_many(np.asarray(internal_ids)) if fetch_fields else []
         return arr, fields
 
@@ -446,10 +453,12 @@ class LocalCollection:
         target_engine = self._engine if vector_field == "default" else self._engine.vector_field(vector_field)
         eids = target_engine.internal_to_external(result.ids)
         ext = np.array(eids, dtype=object)
-        try:
-            ext = ext.astype(np.int64)
-        except (TypeError, ValueError, OverflowError):
-            pass
+        # see _map_and_fields: only collapse to int64 when every id IS an int
+        if all(type(e) is int for e in eids):
+            try:
+                ext = ext.astype(np.int64)
+            except (TypeError, ValueError, OverflowError):
+                pass
         raw_fields = (
             self._fields_for_external_ids(eids) if need_fields else []
         )

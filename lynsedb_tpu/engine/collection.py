@@ -42,7 +42,13 @@ from ..storage.wal import (
     KIND_UPSERT,
     WALStorage,
 )
-from .errors import DimensionMismatch, InvalidArgument, LynseError, ReadOnly
+from .errors import (
+    CollectionClosed,
+    DimensionMismatch,
+    InvalidArgument,
+    LynseError,
+    ReadOnly,
+)
 
 PENDING_FLUSH_ROWS = 10_000
 PENDING_FLUSH_BYTES = 32 * 1024 * 1024
@@ -108,6 +114,7 @@ class Collection:
         self.root = Path(root)
         self.name = name
         self.read_only = read_only
+        self._closed = False
         self.root.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
 
@@ -268,7 +275,12 @@ class Collection:
     def is_id_exists(self, eid) -> bool:
         return eid in self.idmap
 
+    def _check_open(self) -> None:
+        if self._closed:
+            raise CollectionClosed(f"collection {self.name!r} is closed")
+
     def _check_writable(self) -> None:
+        self._check_open()
         if self.read_only:
             raise ReadOnly("collection is read-only")
 
@@ -526,6 +538,9 @@ class Collection:
 
     def close(self) -> None:
         with self._lock:
+            if self._closed:  # idempotent (reference: close twice is a no-op)
+                return
+            self._closed = True
             if not self.read_only:
                 if self._pending:
                     self._flush_pending()
@@ -612,6 +627,12 @@ class Collection:
         if filter_ids is not None:
             m2 = np.zeros(n, dtype=bool)
             for e in filter_ids:
+                # reject bool/negative/empty ids up front (same contract as
+                # add/upsert; a bare bool would silently alias row 0/1)
+                try:
+                    e = normalize_external_id(e)
+                except ValueError as exc:
+                    raise InvalidArgument(f"invalid filter id {e!r}: {exc}") from exc
                 iid = self.idmap.get_internal(e)
                 if iid is not None and iid < n:
                     m2[iid] = True
@@ -673,6 +694,7 @@ class Collection:
         eps: float = 1e-4,
         profile: bool = False,
     ) -> SearchResult:
+        self._check_open()
         if field_name != "default":
             sub = self._named_fields.get(field_name)
             if sub is None:
@@ -945,6 +967,7 @@ class Collection:
     def query(self, where=None, filter_ids=None, limit: Optional[int] = None):
         """Metadata query: internal row ids passing the filter, live only."""
         with self._lock:
+            self._check_open()
             n = self.n_rows
             handle = self.resolve_filter(where, filter_ids)
             mask = np.ones(n, dtype=bool) if handle is None else handle.mask.copy()
@@ -963,6 +986,7 @@ class Collection:
         return ids[-n:] if len(ids) else ids
 
     def get_vectors(self, iids: np.ndarray) -> np.ndarray:
+        self._check_open()
         if len(iids) == 0:
             return np.zeros((0, self.dim or 0), dtype=np.float32)
         return np.stack([self.row_vector(int(i)) for i in iids])

@@ -87,6 +87,11 @@ class DatabaseEngine:
             if drop_if_exists:
                 self.drop_collection(name)
             coll = self._collections.get(name)
+            if coll is not None and coll._closed:
+                # a closed handle stays cached until someone re-opens;
+                # reopen from disk instead of handing back a dead engine
+                self._collections.pop(name, None)
+                coll = None
             if coll is None:
                 coll = Collection(
                     self.root / name,
@@ -103,7 +108,7 @@ class DatabaseEngine:
 
     def get_collection(self, name: str, dim: Optional[int] = None) -> Collection:
         with self._lock:
-            if name in self._collections:
+            if name in self._collections and not self._collections[name]._closed:
                 return self._collections[name]
             if not self.collection_exists(name):
                 raise CollectionNotFound(f"collection not found: {name!r}")
@@ -241,6 +246,24 @@ class DatabaseManager:
                 db = DatabaseEngine(self.root / name, name, read_only=self.read_only)
                 self._dbs[name] = db
             return db
+
+    def restore_database_from_snapshot(self, snapshot_path: str | Path, name: str) -> DatabaseEngine:
+        """Materialize a database snapshot (DatabaseEngine.snapshot_to) under a
+        new database name (reference: engine.rs:7249-7734 snapshot/restore)."""
+        validate_resource_name(name)
+        src = Path(snapshot_path)
+        if not src.exists():
+            raise InvalidArgument(f"snapshot not found: {src}")
+        with self._lock:
+            if self.read_only:
+                raise ReadOnly("manager is read-only")
+            if self.database_exists(name):
+                raise InvalidArgument(f"database already exists: {name!r}")
+            if len(self.list_databases()) >= MAX_DATABASES:
+                raise InvalidArgument(f"too many databases (max {MAX_DATABASES})")
+            shutil.copytree(src, self.root / name)
+            (self.root / name / "snapshot.manifest.json").unlink(missing_ok=True)
+            return self.get_database(name)
 
     def drop_database(self, name: str) -> bool:
         validate_resource_name(name)

@@ -29,6 +29,10 @@ class ReadOnly(LynseError):
     pass
 
 
+class CollectionClosed(LynseError):
+    """Operation attempted on a collection handle after close()."""
+
+
 import re as _re
 
 

@@ -408,15 +408,11 @@ class LynseServer:
 
     async def restore_database(self, request):
         body = await self._body(request)
-        import shutil
-        from pathlib import Path
-
-        src = Path(body["snapshot_path"])
-        dst = Path(self.manager.root) / body["database_name"]
-        if dst.exists():
-            raise InvalidArgument(f"database already exists: {body['database_name']}")
-        await self._run(shutil.copytree, src, dst)
-        (dst / "snapshot.manifest.json").unlink(missing_ok=True)
+        await self._run(
+            self.manager.restore_database_from_snapshot,
+            body["snapshot_path"],
+            body["database_name"],
+        )
         return _success()
 
     # ── collection handlers ──────────────────────────────────────────────

@@ -199,6 +199,17 @@ class FieldStore(ColumnProvider):
 
     # ── filtering ────────────────────────────────────────────────────────
 
+    @staticmethod
+    def _eq_key(v):
+        """Type-tagged index key: bool/int/str share Python hash buckets
+        (True == 1 == 1.0), but filter semantics keep the families apart —
+        bools only match bools, numbers match numbers, strings strings."""
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, (int, float)):
+            return ("n", float(v))
+        return ("s", v)
+
     def _build_eq_index(self) -> None:
         if not self._index_dirty:
             return
@@ -207,8 +218,10 @@ class FieldStore(ColumnProvider):
             if not r:
                 continue
             for key, val in r.items():
-                if isinstance(val, (str, int, bool)) and not isinstance(val, float):
-                    self._eq_index.setdefault(key, {}).setdefault(val, []).append(i)
+                if isinstance(val, (str, int, float, bool)):
+                    self._eq_index.setdefault(key, {}).setdefault(
+                        self._eq_key(val), []
+                    ).append(i)
         self._index_dirty = False
 
     def query_mask(self, where: Optional[str]) -> np.ndarray:
@@ -220,12 +233,12 @@ class FieldStore(ColumnProvider):
         ast = parse_where(where)
         eqs = equality_conjuncts(ast)
         if eqs is not None and all(
-            isinstance(v, (str, bool)) or isinstance(v, int) for _, v in eqs
+            isinstance(v, (str, bool, int, float)) for _, v in eqs
         ):
             self._build_eq_index()
             mask = None
             for field, value in eqs:
-                ids = self._eq_index.get(field, {}).get(value, [])
+                ids = self._eq_index.get(field, {}).get(self._eq_key(value), [])
                 m = np.zeros(n, dtype=bool)
                 if ids:
                     m[np.asarray(ids)] = True

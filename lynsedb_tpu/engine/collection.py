@@ -695,6 +695,8 @@ class Collection:
         profile: bool = False,
     ) -> SearchResult:
         self._check_open()
+        if approx and not np.isfinite(eps):
+            raise InvalidArgument(f"approx eps must be finite, got {eps!r}")
         if field_name != "default":
             sub = self._named_fields.get(field_name)
             if sub is None:

@@ -962,13 +962,33 @@ def _reprune_nodes(graph: np.ndarray, overflow: dict[int, list[int]],
         graph[chunk] = pruned[:m].astype(np.int32)
 
 
-def exact_knn_graph(rows: "jnp.ndarray", metric: Metric, r: int) -> np.ndarray:
-    """Exact kNN graph for small node sets (upper HNSW layers) — one matmul."""
+@partial(jax.jit, static_argnames=("metric", "take"))
+def _knn_block(q_rows, rows, lo, *, metric: Metric, take: int):
+    keys = _keyed_pairwise(q_rows, rows, metric)  # (b, n)
+    b = q_rows.shape[0]
+    cols = lo + jnp.arange(b)  # self columns for this block
+    # mode="drop": padded tail rows point past n — skip, their output is cut
+    keys = keys.at[jnp.arange(b), cols].set(-jnp.inf, mode="drop")
+    _, idx = jax.lax.top_k(keys, take)
+    return idx.astype(jnp.int32)
+
+
+def exact_knn_graph(rows: "jnp.ndarray", metric: Metric, r: int, block: int = 2048) -> np.ndarray:
+    """Exact kNN graph for upper HNSW layers, computed in query blocks so the
+    (n, n) key matrix never materializes on the device or crosses the wire —
+    a 31k-node layer-1 subsample at 1M rows would otherwise allocate two
+    ~4 GB buffers and OOM the chip. Only the (b, take) index block returns."""
     n = rows.shape[0]
-    keys = np.array(_keyed_pairwise(rows, rows, metric))  # writable copy
-    np.fill_diagonal(keys, -np.inf)
     take = min(r, n - 1)
-    nbrs = np.argsort(-keys, axis=1, kind="stable")[:, :take].astype(np.int32)
     out = np.full((n, r), -1, dtype=np.int32)
-    out[:, :take] = nbrs
+    if take <= 0:
+        return out
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        q = rows[lo:hi]
+        if hi - lo < block and n > block:
+            # pad the ragged tail to the bucket shape: one executable total
+            q = jnp.concatenate([q, jnp.zeros((block - (hi - lo), rows.shape[1]), rows.dtype)])
+        idx = _knn_block(q, rows, lo, metric=metric, take=take)
+        out[lo:hi, :take] = np.asarray(idx)[: hi - lo]
     return out

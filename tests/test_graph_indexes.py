@@ -26,6 +26,14 @@ def test_exact_knn_graph(rng):
     assert np.array_equal(np.sort(g, axis=1), np.sort(want, axis=1))
 
 
+def test_exact_knn_graph_blockwise_matches_single_block(rng):
+    # the ragged-tail padded block path must agree with the one-block path
+    x = jnp.asarray(rng.normal(size=(50, 8)).astype(np.float32))
+    one = exact_knn_graph(x, Metric.IP, 6, block=64)
+    blocked = exact_knn_graph(x, Metric.IP, 6, block=16)
+    assert np.array_equal(one, blocked)
+
+
 def test_beam_search_on_exact_graph(rng):
     n, d = 500, 16
     x = rng.normal(size=(n, d)).astype(np.float32)

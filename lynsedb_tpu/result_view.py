@@ -64,15 +64,18 @@ class ResultView:
         self._distance = distance
         self._index = index
         self._result_type = result_type
-        comps = []
-        if ids is not None:
-            comps.append(("ids", self._ids))
-        if distances is not None:
-            comps.append(("distances", self._distances))
-        if vectors is not None:
-            comps.append(("vectors", self._vectors))
-        if self._fields:
-            comps.append(("fields", self._fields))
+        # Fixed component tuples per result type so tuple unpacking is stable
+        # (reference: python/lynse/result_view.py:126 _build_components —
+        # search always yields (ids, distances, fields), data always yields
+        # (vectors, ids, fields), query yields (ids, fields) or (ids,)):
+        if result_type == "search":
+            comps = [self._ids, self._distances, self._fields]
+        elif result_type == "data":
+            comps = [self._vectors, self._ids, self._fields]
+        elif self._fields:
+            comps = [self._ids, self._fields]
+        else:
+            comps = [self._ids]
         self._components = comps
 
     # ── accessors ────────────────────────────────────────────────────────
@@ -112,47 +115,80 @@ class ResultView:
     # ── container protocol ───────────────────────────────────────────────
 
     def __len__(self) -> int:
-        for _, comp in self._components:
-            return len(comp)
+        if self._ids is not None:
+            return len(self._ids)
+        if self._distances is not None:
+            return len(self._distances)
+        if self._vectors is not None:
+            return self._vectors.shape[0]
+        if self._fields:
+            return len(self._fields)
         return 0
 
     def __iter__(self):
-        return iter(comp for _, comp in self._components)
+        return iter(self._components)
 
-    def __getitem__(self, item):
-        if isinstance(item, int) and not isinstance(item, bool):
-            if 0 <= item < len(self._components) or -len(self._components) <= item < 0:
-                return self._components[item][1]
-            raise IndexError(item)
-        if isinstance(item, slice):
+    def __getitem__(self, key):
+        """Key-based access plus a row-slice extension.
+
+        String keys match the reference contract (python/lynse/
+        result_view.py:197 — "ids"/"fields" for all result types,
+        "distance"/"distances"/"k"/"measure"/"index" for search,
+        "vectors"/"n" for data); non-string, non-slice indices raise
+        TypeError and unknown keys raise KeyError. Slices return a narrowed
+        ResultView (an extension the reference does not offer).
+        """
+        if isinstance(key, slice):
             return ResultView(
-                ids=self._ids[item] if self._ids is not None else None,
-                distances=self._distances[item] if self._distances is not None else None,
-                vectors=self._vectors[item] if self._vectors is not None else None,
-                fields=self._fields[item] if self._fields else None,
-                k=len(self._ids[item]) if self._ids is not None else self._k,
+                ids=self._ids[key] if self._ids is not None else None,
+                distances=self._distances[key] if self._distances is not None else None,
+                vectors=self._vectors[key] if self._vectors is not None else None,
+                fields=self._fields[key] if self._fields else None,
+                k=len(self._ids[key]) if self._ids is not None else self._k,
                 distance=self._distance,
                 index=self._index,
                 result_type=self._result_type,
             )
-        raise TypeError(f"invalid index: {item!r}")
+        if not isinstance(key, str):
+            raise TypeError(
+                f"ResultView indices must be strings, not {type(key).__name__}"
+            )
+        if key == "ids":
+            return self._ids
+        if key in ("distance", "distances"):
+            return self._distances
+        if key == "vectors":
+            return self._vectors
+        if key == "fields":
+            return self._fields
+        if key == "k":
+            return self._k
+        if key == "measure":
+            return self._distance
+        if key == "index":
+            return self._index
+        if key == "n":
+            return len(self)
+        raise KeyError(f"ResultView has no key {key!r}")
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
 
     def __eq__(self, other):
-        if isinstance(other, tuple):
-            return tuple(comp for _, comp in self._components) == other
         if not isinstance(other, ResultView):
             return NotImplemented
-        if len(self._components) != len(other._components):
+        if self._result_type != other._result_type or len(self) != len(other):
             return False
-        for (n1, c1), (n2, c2) in zip(self._components, other._components):
-            if n1 != n2:
+        for mine, theirs in (
+            (self._ids, other._ids),
+            (self._distances, other._distances),
+            (self._vectors, other._vectors),
+        ):
+            if (mine is None) != (theirs is None):
                 return False
-            if isinstance(c1, np.ndarray):
-                if not np.array_equal(c1, np.asarray(c2)):
-                    return False
-            elif c1 != c2:
+            if mine is not None and not np.array_equal(mine, theirs):
                 return False
-        return True
+        return self._fields == other._fields
 
     # ── conversions ──────────────────────────────────────────────────────
 

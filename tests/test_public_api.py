@@ -195,8 +195,8 @@ def test_update_fields_unknown_id_raises(db, rng):
 def test_result_view_unpacking_and_slicing(populated_collection):
     coll, vectors, ids = populated_collection
     res = coll.search(vectors[0], k=5)
-    i, d = res  # tuple unpacking
-    assert len(i) == 5 and len(d) == 5
+    i, d, f = res  # search results always unpack as (ids, distances, fields)
+    assert len(i) == 5 and len(d) == 5 and f == []
     assert res[0:2].k == 2
     assert res.to_list()[0]["id"] == int(res.ids[0])
 

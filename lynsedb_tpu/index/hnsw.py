@@ -54,6 +54,7 @@ class HNSWIndex:
         self.m = m
         self.ef_construction = efc
         self.ef_search = efs
+        self.ip_starts = np.zeros(0, dtype=np.int32)
         self._dev = None
 
     @classmethod
@@ -84,15 +85,27 @@ class HNSWIndex:
             upper.insert(0, {"nodes": nodes.astype(np.int32), "graph": graph})
         entry = int(upper[0]["nodes"][0]) if upper else 0
         idx = cls(coll, mode, opts, layer0, upper, entry, n, m, efc, efs)
+        idx.ip_starts = idx._compute_ip_starts(np.asarray(data))
         idx.save(coll)
         return idx
+
+    def _compute_ip_starts(self, data: np.ndarray) -> np.ndarray:
+        """Extra fixed entry points for inner-product search: the highest-norm
+        rows. MIPS winners concentrate at large norms, but the greedy upper-
+        layer descent lands on a single angular-nearest entry — the same
+        reason the reference ships a dedicated IP-DiskANN entry strategy
+        (diskann.rs IP handling) applies to the HNSW family."""
+        if self.metric is not Metric.IP or len(data) == 0:
+            return np.zeros(0, dtype=np.int32)
+        norms = np.linalg.norm(np.asarray(data, dtype=np.float32), axis=1)
+        return np.unique(np.argsort(-norms)[:4].astype(np.int32))
 
     # ── persistence ──────────────────────────────────────────────────────
 
     def save(self, coll) -> None:
         idx_dir = coll.root / "index"
         idx_dir.mkdir(parents=True, exist_ok=True)
-        arrays = {"layer0": self.layer0_np}
+        arrays = {"layer0": self.layer0_np, "ip_starts": self.ip_starts}
         for i, layer in enumerate(self.upper):
             arrays[f"u{i}_nodes"] = layer["nodes"]
             arrays[f"u{i}_graph"] = layer["graph"]
@@ -122,8 +135,11 @@ class HNSWIndex:
             {"nodes": data[f"u{i}_nodes"], "graph": data[f"u{i}_graph"]}
             for i in range(meta["n_upper"])
         ]
-        return cls(coll, mode, opts, data["layer0"], upper, meta["entry"],
-                   meta["built_rows"], meta["m"], meta["ef_construction"], meta["ef_search"])
+        idx = cls(coll, mode, opts, data["layer0"], upper, meta["entry"],
+                  meta["built_rows"], meta["m"], meta["ef_construction"], meta["ef_search"])
+        if "ip_starts" in data.files:
+            idx.ip_starts = data["ip_starts"]
+        return idx
 
     # ── search ───────────────────────────────────────────────────────────
 
@@ -138,6 +154,24 @@ class HNSWIndex:
                                for layer in self.upper],
             }
         return self._dev
+
+    ENTRY_SAMPLE = 4096
+    ENTRY_TOP = 8
+
+    def _ip_entry_state(self, corpus):
+        """Fixed node sample for the IP per-query entry scan (same design as
+        DiskANN's — the greedy descent yields one angular-nearest entry, but
+        MIPS winners concentrate at high norms, so the beam also needs
+        entries picked under the true IP score)."""
+        if getattr(self, "_ip_entry_dev", None) is None:
+            n = self.built_rows
+            rng = np.random.default_rng(1234 + n)
+            c = min(n, self.ENTRY_SAMPLE)
+            ids = (np.sort(rng.choice(n, size=c, replace=False))
+                   if c < n else np.arange(n)).astype(np.int32)
+            rows = corpus.host_rows(ids.astype(np.int64)).astype(np.float32)
+            self._ip_entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
+        return self._ip_entry_dev
 
     def _descend(self, q: np.ndarray, corpus) -> np.ndarray:
         """Greedy descent through the (tiny) upper layers: exact scans over
@@ -163,9 +197,23 @@ class HNSWIndex:
         entries = self._descend(q2, corpus)
         live = corpus.valid_mask(mask)[: self.built_rows]
         # per-query entry points (B, 1): stable executable shape for any
-        # batch (a deduped shared set would recompile per distinct count)
+        # batch (a deduped shared set would recompile per distinct count).
+        # For IP the fixed high-norm starts are appended — (B, 1+S) is still
+        # a stable shape since S is fixed at build time.
         starts = jnp.asarray(entries.astype(np.int32).reshape(-1, 1))
         qj = jnp.asarray(q2)
+        if self.metric is Metric.IP:
+            from ..ops.graph import entry_scan
+
+            ids_d, rows_d = self._ip_entry_state(corpus)
+            parts = [starts,
+                     entry_scan(qj, rows_d, ids_d, live,
+                                metric=self.metric, s=self.ENTRY_TOP)]
+            if len(self.ip_starts):
+                parts.append(jnp.broadcast_to(
+                    jnp.asarray(self.ip_starts.astype(np.int32))[None, :],
+                    (starts.shape[0], len(self.ip_starts))))
+            starts = jnp.concatenate(parts, axis=1)
         guided = _PQ_METRIC_KIND.get(metric)
         if guided and not corpus.streaming:
             # bf16-guided beam over the resident scan array + exact
@@ -249,6 +297,7 @@ class HNSWIndex:
         self._inserted_since_build = grown
         self.built_rows = n
         self._dev = None
+        self._ip_entry_dev = None  # sample must track the grown corpus
         self.save(coll)
 
     def rebuild(self, coll) -> None:

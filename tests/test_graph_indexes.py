@@ -377,3 +377,45 @@ def test_beam_search_bf16_respects_valid_mask(rng):
     live = pool[pool >= 0]
     assert len(live) > 0
     assert (live % 2 == 1).all(), "filtered-out ids leaked into the pool"
+
+
+def test_hnsw_ip_high_norm_entry_starts(db, rng):
+    """HNSW-IP appends fixed high-norm entry points to the descended entry
+    (MIPS winners concentrate at large norms; the single greedy-descent
+    entry alone can strand the beam in a low-norm angular neighborhood).
+    The starts must survive save/load."""
+    n, d = 2500, 24
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    # plant a distinct high-norm cluster that IP queries must find
+    data[:30] *= 8.0
+    coll = db.require_collection("g_ipstarts", dim=d, drop_if_exists=True,
+                                 default_index=None)
+    coll.add(list(range(n)), vectors=data)
+    coll.commit()
+    coll.build_index("HNSW-IP")
+    idx = coll._engine._index
+    assert len(idx.ip_starts) > 0
+    norms = np.linalg.norm(data, axis=1)
+    assert set(idx.ip_starts.tolist()) <= set(np.argsort(-norms)[:8].tolist())
+    queries = rng.normal(size=(6, d)).astype(np.float32)
+    want = np.argsort(-(queries @ data.T), axis=1)[:, :10]
+    total = sum(
+        _recall(coll.search(queries[i], k=10, nprobe=80).ids, want[i])
+        for i in range(len(queries))
+    ) / len(queries)
+    assert total >= 0.9, f"HNSW-IP recall {total:.3f}"
+    # reload from disk keeps the starts
+    from lynsedb_tpu.index.hnsw import HNSWIndex
+    loaded = HNSWIndex.load(coll._engine, idx.mode, idx)
+    assert np.array_equal(loaded.ip_starts, idx.ip_starts)
+
+
+def test_hnsw_l2_has_no_ip_starts(db, rng):
+    n, d = 600, 16
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    coll = db.require_collection("g_l2starts", dim=d, drop_if_exists=True,
+                                 default_index=None)
+    coll.add(list(range(n)), vectors=data)
+    coll.commit()
+    coll.build_index("HNSW-L2")
+    assert len(coll._engine._index.ip_starts) == 0

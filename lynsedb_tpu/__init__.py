@@ -93,6 +93,13 @@ class VectorDBClient:
             self._session = None
             self._manager = DatabaseManager(root_path, read_only=read_only)
 
+    @property
+    def is_read_only(self) -> bool:
+        """Whether this client was opened read-only (reference:
+        python/lynse/api/local_client.py:47). Remote clients are governed by
+        the server's mode and report False here."""
+        return bool(self._manager is not None and self._manager.read_only)
+
     # ── databases ────────────────────────────────────────────────────────
 
     def create_database(self, database_name: str, drop_if_exists: bool = False):

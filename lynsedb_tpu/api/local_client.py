@@ -370,6 +370,7 @@ class LocalCollection:
         return self._engine.description
 
     def update_description(self, description: str) -> None:
+        self._engine._check_writable()
         self._engine.description = description
         self._engine._write_config()
 

@@ -1113,6 +1113,7 @@ class Collection:
             return fh.read(length)
 
     def delete_blob(self, key: str) -> bool:
+        self._check_writable()
         path = self._blob_path(key)
         if path.exists():
             path.unlink()

@@ -130,6 +130,7 @@ class DatabaseEngine:
 
     def update_collection_description(self, name: str, description: str) -> None:
         coll = self.get_collection(name)
+        coll._check_writable()
         coll.description = description
         coll._write_config()
 

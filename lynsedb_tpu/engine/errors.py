@@ -1,7 +1,13 @@
-"""Engine error types (reference: src/error.rs:1-73)."""
+"""Engine error types (reference: src/error.rs:1-73).
+
+LynseError derives from RuntimeError because the reference's Python binding
+maps every engine error to RuntimeError (src/python/mod.rs:828
+PyRuntimeError::new_err), and the reference test-suite asserts
+``pytest.raises(RuntimeError, match="read-only")`` — code written against
+the reference must keep working unchanged."""
 
 
-class LynseError(Exception):
+class LynseError(RuntimeError):
     pass
 
 

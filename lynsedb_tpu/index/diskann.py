@@ -53,6 +53,13 @@ PQ_FIT_SAMPLE = 131072
 _PQ_METRIC_KIND = {Metric.IP: "ip", Metric.L2: "l2", Metric.COSINE: "cos"}
 
 
+def _exceeds_hbm(n: int, dim: int) -> bool:
+    """Whether an (n, dim) bf16 scan array would stream (>HBM budget)."""
+    from ..ops import scan as _scan
+
+    return n * dim * 2 > _scan.HBM_BYTES
+
+
 class DiskANNIndex:
     kind = "diskann"
 
@@ -92,7 +99,12 @@ class DiskANNIndex:
         medoid = int(np.asarray(jnp.argmin(jnp.sum((rows - rows.mean(0)) ** 2, axis=1))))
         idx = cls(coll, mode, opts, graph, medoid, n, r, l, alpha)
         idx._starts_np = idx._compute_starts(data)
-        if n >= LAYERED_MIN_ROWS and mode.metric in _PQ_METRIC_KIND:
+        if mode.metric in _PQ_METRIC_KIND and (
+            n >= LAYERED_MIN_ROWS or _exceeds_hbm(n, data.shape[1])
+        ):
+            # PQ codes are also required whenever the corpus streams (>HBM
+            # budget): the beam has no resident array to score from, so even
+            # a small-row corpus under a tiny budget needs the layered tier
             idx._fit_pq(data)
         idx.save(coll)
         return idx
@@ -232,6 +244,12 @@ class DiskANNIndex:
         # _force_pq: test hook to exercise the streaming PQ tier without a
         # >HBM corpus (the dispatch below is otherwise driven by residency)
         use_bf16 = guided and not corpus.streaming and not getattr(self, "_force_pq", False)
+        if guided and corpus.streaming and not self.layered:
+            # legacy index built resident on a corpus that now streams: fit
+            # the PQ tier once from the host mirror and persist it
+            self._fit_pq(np.asarray(
+                corpus.host_rows(np.arange(self.built_rows)), dtype=np.float32))
+            self.save(coll)
         if use_bf16:
             # bf16-guided beam + exact host-mirror rescore: the centered
             # bf16 scan array is already HBM-resident for the flat path, so

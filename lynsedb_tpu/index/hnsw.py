@@ -191,6 +191,16 @@ class HNSWIndex:
     def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
         metric = self.metric
         corpus = coll.corpus()
+        if corpus.streaming:
+            # >HBM corpora have no resident array for the beam to score from;
+            # HNSW (RAM-tier index in the reference too, hnsw.rs) falls back
+            # to the exact blockwise streaming scan. DiskANN's PQ-guided
+            # tier is the graph answer for >HBM (diskann.py).
+            q2 = np.atleast_2d(q.astype(np.float32))
+            dists, ids = corpus.search(q2, k, metric, filter_mask=mask)
+            self.last_scanned = int(corpus.n)
+            return _finalize_ranked(
+                np.asarray(dists, np.float32), np.asarray(ids, np.int64), k, metric)
         dev = self._device(corpus)
         ef = max(int(nprobe or 0), self.ef_search, k)
         q2 = np.atleast_2d(q.astype(np.float32))

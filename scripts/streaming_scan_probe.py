@@ -1,0 +1,90 @@
+"""Hardware run of the >HBM blockwise streaming scan (VERDICT r3 weak #7).
+
+Forces streaming mode by setting the HBM budget BELOW the 1M corpus bf16
+footprint before importing the engine, then measures FLAT recall + latency
+and (if the graph exists) DiskANN's PQ-guided streaming tier on the same
+corpus as the gate matrix. Records the evidence the PARITY '>HBM closed'
+claim needs (reference tier: flat_mmap.rs:89 mmap window scan).
+
+Usage: python scripts/streaming_scan_probe.py [n]
+"""
+import os
+import sys
+import time
+from pathlib import Path
+
+# 1M x 128 bf16 = 256 MB; budget 128 MB forces the streaming tier with
+# multiple blocks. Must be set before lynsedb_tpu import reads it.
+os.environ.setdefault("LYNSE_TPU_HBM_BYTES", str(128 * 1024 * 1024))
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+NQ, K = 100, 10
+
+
+def main():
+    from sift_io import read_fvecs
+
+    import lynsedb_tpu as lynse
+
+    base = read_fvecs(str(ROOT / "benchmarks/data/synth_sift_1m/sift_base.fvecs"), limit=N)
+    queries = read_fvecs(str(ROOT / "benchmarks/data/synth_sift_1m/sift_query.fvecs"), limit=NQ)
+    gt = np.argsort(-(queries @ base.T), axis=1)[:, :K]
+
+    import tempfile
+    with tempfile.TemporaryDirectory(dir=str(ROOT)) as tmp:
+        client = lynse.VectorDBClient(tmp)
+        db = client.create_database("stream", drop_if_exists=True)
+        coll = db.require_collection("c", dim=base.shape[1], default_index="FLAT-IP")
+        t0 = time.perf_counter()
+        for lo in range(0, N, 100_000):
+            hi = min(lo + 100_000, N)
+            coll.add(list(range(lo, hi)), vectors=base[lo:hi])
+        coll.commit()
+        print(f"ingest {time.perf_counter()-t0:.0f}s", flush=True)
+        coll.search(queries[0], k=K)  # warm/compile (stages the corpus)
+        corpus = coll._engine.corpus()
+        print(f"streaming={corpus.streaming} budget={os.environ['LYNSE_TPU_HBM_BYTES']}",
+              flush=True)
+        assert corpus.streaming, "corpus did not enter streaming mode"
+        hits = 0
+        t0 = time.perf_counter()
+        res = coll.batch_search(queries, K)
+        batch_s = time.perf_counter() - t0
+        for i in range(NQ):
+            got = set(int(x) for x in np.asarray(res[i].ids).tolist())
+            hits += len(got & set(gt[i].tolist()))
+        print(f"FLAT streaming: recall@10={hits/(NQ*K):.4f} "
+              f"batch{NQ} {batch_s/NQ*1e3:.2f} ms/q", flush=True)
+
+        # pipelined stream axis over the streaming tier
+        coll.search_stream(queries, k=K)
+        t0 = time.perf_counter()
+        coll.search_stream(queries, k=K)
+        print(f"FLAT streaming pipelined: {(time.perf_counter()-t0)/NQ*1e3:.2f} ms/q",
+              flush=True)
+
+        # DiskANN streaming tier: PQ-guided beam + host-mirror rescore
+        t0 = time.perf_counter()
+        coll.build_index("DISKANN-IP", r=32, l=100)
+        print(f"diskann build {time.perf_counter()-t0:.0f}s", flush=True)
+        coll.search(queries[0], k=K, nprobe=100)
+        hits = 0
+        t0 = time.perf_counter()
+        res = coll.batch_search(queries, K, nprobe=100)
+        d_s = time.perf_counter() - t0
+        for i in range(NQ):
+            got = set(int(x) for x in np.asarray(res[i].ids).tolist())
+            hits += len(got & set(gt[i].tolist()))
+        print(f"DISKANN-IP streaming(PQ beam): recall@10={hits/(NQ*K):.4f} "
+              f"batch{NQ} {d_s/NQ*1e3:.2f} ms/q", flush=True)
+        client.close()
+
+
+if __name__ == "__main__":
+    main()

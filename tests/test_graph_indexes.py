@@ -419,3 +419,70 @@ def test_hnsw_l2_has_no_ip_starts(db, rng):
     coll.commit()
     coll.build_index("HNSW-L2")
     assert len(coll._engine._index.ip_starts) == 0
+
+
+def test_graph_search_on_streaming_corpus(db, graph_data, monkeypatch):
+    """A corpus whose bf16 footprint exceeds the HBM budget streams; graph
+    indexes must keep serving: DiskANN builds (or lazily fits) the PQ tier
+    even below LAYERED_MIN_ROWS, HNSW falls back to the exact streaming
+    scan. Regression: both previously raised 'f32 device copy unavailable'
+    on streaming corpora below the layered threshold."""
+    import lynsedb_tpu.ops.scan as scan_mod
+
+    data, queries = graph_data  # 3000 x 32 bf16 = 187.5 KB
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 64 * 1024)
+    coll = db.require_collection("g_stream", dim=32, drop_if_exists=True,
+                                 default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    idx = coll._engine._index
+    assert idx.layered, "streaming-corpus build must fit the PQ tier"
+    want = np.argsort(-(queries @ data.T), axis=1)[:, :10]
+    total = sum(
+        _recall(coll.search(queries[i], k=10, nprobe=80).ids, want[i])
+        for i in range(len(queries))
+    ) / len(queries)
+    assert coll._engine.corpus().streaming  # staged lazily by the search
+    assert total >= 0.9, f"streaming DISKANN-IP recall {total:.3f}"
+
+    # HNSW on the same streaming corpus: exact-scan fallback
+    coll.build_index("HNSW-L2")
+    want_l2 = np.argsort(((data[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    total = sum(
+        _recall(coll.search(queries[i], k=10, nprobe=80).ids, want_l2[i])
+        for i in range(len(queries))
+    ) / len(queries)
+    assert total >= 0.999, f"streaming HNSW fallback recall {total:.3f}"
+
+
+def test_diskann_legacy_resident_index_lazy_pq_on_stream(db, graph_data, monkeypatch):
+    """An index built resident (no PQ codes) must lazily fit + persist the
+    PQ tier the first time it searches a corpus that now streams."""
+    import lynsedb_tpu.index.diskann as da
+    import lynsedb_tpu.ops.scan as scan_mod
+
+    data, queries = graph_data
+    coll = db.require_collection("g_lazy", dim=32, drop_if_exists=True,
+                                 default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    idx = coll._engine._index
+    assert not idx.layered
+    # corpus now exceeds the (shrunk) budget: restage as streaming
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 64 * 1024)
+    corpus = coll._engine.corpus()
+    corpus._dirty = True
+    corpus._dirty_lo = 0
+    want = np.argsort(-(queries @ data.T), axis=1)[:, :10]
+    total = sum(
+        _recall(coll.search(queries[i], k=10, nprobe=80).ids, want[i])
+        for i in range(len(queries))
+    ) / len(queries)
+    assert idx.layered, "search on a streaming corpus must lazily fit PQ"
+    assert total >= 0.9, f"lazy-PQ recall {total:.3f}"
+    # the fitted tier persisted
+    from lynsedb_tpu.index.diskann import DiskANNIndex
+    loaded = DiskANNIndex.load(coll._engine, idx.mode, idx)
+    assert loaded.layered

@@ -29,10 +29,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..metrics import Metric
 
-INF = jnp.float32(jnp.inf)
+# host-side scalar, NOT jnp: a module-level jax.Array is created on the
+# default device at import and later embedded as an MLIR constant, which
+# forces a device->host fetch DURING LOWERING — through the TPU tunnel
+# that fetch queues behind bulk staging transfers and stalls cold-start
+# compiles for minutes (measured 238-340 s first-search; faulthandler
+# trace: ir_constant -> _array_mlir_constant_handler -> array._value)
+INF = np.float32(np.inf)
 _SQRT_LN2 = math.sqrt(math.log(2.0))
 
 

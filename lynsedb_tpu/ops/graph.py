@@ -29,7 +29,7 @@ import numpy as np
 from ..metrics import Metric
 from . import distance as D
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)  # host scalar: device constants stall tunnel lowering (see ops/distance.py:INF)
 
 
 def _keyed_pairwise(q, x, metric: Metric):

@@ -295,7 +295,7 @@ def _shortlist_ids(d: jnp.ndarray, i: jnp.ndarray, ascending: bool) -> jnp.ndarr
     return jnp.where(keyed > NEG_INF_F32, i.astype(jnp.int32), jnp.int32(-1))
 
 
-NEG_INF_F32 = jnp.float32(-jnp.inf)
+NEG_INF_F32 = np.float32(-np.inf)  # host scalar: device constants stall tunnel lowering (see ops/distance.py:INF)
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "ascending", "pallas"))

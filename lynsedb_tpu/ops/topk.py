@@ -14,8 +14,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)  # host scalar: device constants stall tunnel lowering (see ops/distance.py:INF)
 
 # Per-candidate recall target for the *shortlist* selection pass (the
 # candidates are exact-rescored afterwards, so end-to-end recall@k is far

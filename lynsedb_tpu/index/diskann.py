@@ -246,10 +246,12 @@ class DiskANNIndex:
         use_bf16 = guided and not corpus.streaming and not getattr(self, "_force_pq", False)
         if guided and corpus.streaming and not self.layered:
             # legacy index built resident on a corpus that now streams: fit
-            # the PQ tier once from the host mirror and persist it
+            # the PQ tier once from the host mirror; persist it unless the
+            # collection is read-only (then it lives for this process only)
             self._fit_pq(np.asarray(
                 corpus.host_rows(np.arange(self.built_rows)), dtype=np.float32))
-            self.save(coll)
+            if not getattr(coll, "read_only", False):
+                self.save(coll)
         if use_bf16:
             # bf16-guided beam + exact host-mirror rescore: the centered
             # bf16 scan array is already HBM-resident for the flat path, so

@@ -92,6 +92,19 @@ def main():
     idx.ENTRY_TOP = 8
     idx._entry_dev = None
 
+    # bigger entry-scan sample: 4096 of 1M is 0.4% coverage; a 4x sample is
+    # still a tiny matmul but may seed the beam inside the right norm band
+    for samp in (16384,):
+        idx.ENTRY_SAMPLE = samp
+        idx._entry_dev = None
+        r = recall({"nprobe": 100})
+        print(f"bf16-beam beam=100 entry_sample={samp}: recall@10={r:.3f}", flush=True)
+    idx.ENTRY_SAMPLE = 4096
+    idx._entry_dev = None
+
+    # step budget: does the walk exhaust max_steps (frontier starvation) or
+    # converge early? max_steps rides beam via beam*2 — probe an extended
+    # walk at the gate beam by oversizing nprobe only for steps
     client.close()
 
 

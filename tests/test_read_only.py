@@ -112,3 +112,34 @@ def test_two_readers_share_without_lock(seeded_root):
     assert c1.search(vecs[1], k=1).ids.tolist() == c2.search(vecs[1], k=1).ids.tolist()
     r1.close()
     r2.close()
+
+
+def test_read_only_streaming_lazy_pq_does_not_write(tmp_path, monkeypatch):
+    """A read-only open of a resident-built DiskANN index over a corpus
+    that now streams must lazily fit its PQ tier in memory WITHOUT writing
+    to the index directory."""
+    import numpy as np
+
+    import lynsedb_tpu.ops.scan as scan_mod
+
+    root = str(tmp_path / "ro_stream")
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(3000, 16)).astype(np.float32)
+    w = lynse.VectorDBClient(root)
+    db = w.create_database("d", drop_if_exists=True)
+    coll = db.require_collection("c", dim=16, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    w.close()
+
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 16 * 1024)
+    r = lynse.VectorDBClient(root, read_only=True)
+    rcoll = r.get_database("d").get_collection("c", warm_up=False)
+    idx_dir = rcoll._engine.root / "index"
+    before = {p.name: p.stat().st_mtime for p in idx_dir.iterdir()}
+    res = rcoll.search(data[0], k=5, nprobe=64)
+    assert 0 in [int(x) for x in res.ids.tolist()]
+    after = {p.name: p.stat().st_mtime for p in idx_dir.iterdir()}
+    assert before == after, "read-only search must not touch the index dir"
+    r.close()

@@ -163,13 +163,14 @@ def main() -> None:
         coll2.search(queries[0], k=K, where="bucket = 3")  # warm + filter cache
         t0 = time.perf_counter()
         for i in range(20):
-            coll2.search(queries[i], k=K, where="bucket = 3")
+            coll2.search(queries[i % N_QUERIES], k=K, where="bucket = 3")
         filt_ms = (time.perf_counter() - t0) / 20 * 1e3
         log(f"filtered search 1M/100k sequential: {filt_ms:.3f} ms")
-        coll2.search_stream(queries[:96], k=K, where="bucket = 3")  # warm (same shape)
+        w96 = min(96, N_QUERIES)
+        coll2.search_stream(queries[:w96], k=K, where="bucket = 3")  # warm (same shape)
         t0 = time.perf_counter()
-        coll2.search_stream(queries[:96], k=K, where="bucket = 3")
-        filt_stream_ms = (time.perf_counter() - t0) / 96 * 1e3
+        coll2.search_stream(queries[:w96], k=K, where="bucket = 3")
+        filt_stream_ms = (time.perf_counter() - t0) / w96 * 1e3
         log(f"filtered search 1M/100k pipelined: {filt_stream_ms:.3f} ms/query")
 
         # ── hybrid search (vector + BM25 fusion; reference 4.809 ms / 208
@@ -188,16 +189,17 @@ def main() -> None:
         collh.hybrid_search(vector=queries[0], text="alpha beta", k=K)  # warm (materializes BM25)
         t0 = time.perf_counter()
         for i in range(20):
-            collh.hybrid_search(vector=queries[i], text=f"{words[i % 10]} doc", k=K)
+            collh.hybrid_search(vector=queries[i % N_QUERIES], text=f"{words[i % 10]} doc", k=K)
         hyb_ms = (time.perf_counter() - t0) / 20 * 1e3
         log(f"hybrid search (100k, vector+bm25 rrf): {hyb_ms:.3f} ms | QPS {1e3 / hyb_ms:,.0f}")
         # pipelined hybrid stream: all vector scans batched to the device,
         # BM25 overlapped — the throughput axis of the hybrid plane
-        htexts = [f"{words[i % 10]} doc" for i in range(96)]
-        collh.hybrid_search_stream(queries[:96], htexts, k=K)  # warm
+        w96 = min(96, N_QUERIES)
+        htexts = [f"{words[i % 10]} doc" for i in range(w96)]
+        collh.hybrid_search_stream(queries[:w96], htexts, k=K)  # warm
         t0 = time.perf_counter()
-        collh.hybrid_search_stream(queries[:96], htexts, k=K)
-        hyb_stream_ms = (time.perf_counter() - t0) / 96 * 1e3
+        collh.hybrid_search_stream(queries[:w96], htexts, k=K)
+        hyb_stream_ms = (time.perf_counter() - t0) / w96 * 1e3
         log(f"hybrid search pipelined (96-stream): {hyb_stream_ms:.3f} ms/query "
             f"| QPS {1e3 / hyb_stream_ms:,.0f}")
 

@@ -155,7 +155,7 @@ class HNSWIndex:
             }
         return self._dev
 
-    ENTRY_SAMPLE = 4096
+    ENTRY_SAMPLE = 16384  # same sweep evidence as DiskANN (diskann.py)
     ENTRY_TOP = 8
 
     def _ip_entry_state(self, corpus):
@@ -203,6 +203,9 @@ class HNSWIndex:
                 np.asarray(dists, np.float32), np.asarray(ids, np.int64), k, metric)
         dev = self._device(corpus)
         ef = max(int(nprobe or 0), self.ef_search, k)
+        if metric is Metric.IP:
+            # +25% ef for raw MIPS (same evidence as DiskANN's IP oversample)
+            ef = ef * 5 // 4
         q2 = np.atleast_2d(q.astype(np.float32))
         entries = self._descend(q2, corpus)
         live = corpus.valid_mask(mask)[: self.built_rows]

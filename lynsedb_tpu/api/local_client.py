@@ -86,6 +86,24 @@ class LocalClient:
     def drop_collection(self, collection: str) -> None:
         self._manager.get_database(self.database_name, create=True).drop_collection(collection)
 
+    def restore_database(self, snapshot_path, overwrite: bool = False) -> dict:
+        """Restore THIS database from a filesystem snapshot (reference:
+        python/lynse/api/local_client.py:191 — same name + overwrite flag).
+        Refuses to clobber an existing database unless ``overwrite``."""
+        from ..engine.errors import InvalidArgument
+
+        if self._manager.database_exists(self.database_name):
+            if not overwrite:
+                raise InvalidArgument(
+                    f"database already exists: {self.database_name!r} "
+                    "(pass overwrite=True to replace it)"
+                )
+            self._manager.drop_database(self.database_name)
+        self._manager.restore_database_from_snapshot(
+            str(snapshot_path), self.database_name
+        )
+        return {"status": "success"}
+
     def drop_database(self) -> None:
         self._manager.drop_database(self.database_name)
 

@@ -234,3 +234,29 @@ def test_readonly_client_blocks_writes(tmp_root, rng):
     with pytest.raises(Exception):
         rcoll.add([2], vectors=rng.normal(size=(1, 4)).astype(np.float32))
     assert len(rcoll.search(rng.normal(size=4).astype(np.float32), k=1).ids) == 1
+
+
+def test_local_client_restore_database_with_overwrite(tmp_path, rng):
+    """Reference surface (local_client.py:191): db-handle restore from a
+    snapshot, refusing to clobber unless overwrite=True."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "restore_root")
+    client = lynse.VectorDBClient(root)
+    db = client.create_database("snapdb", drop_if_exists=True)
+    coll = db.require_collection("c", dim=4, drop_if_exists=True)
+    vecs = rng.normal(size=(5, 4)).astype(np.float32)
+    coll.add([1, 2, 3, 4, 5], vectors=vecs)
+    coll.commit()
+    snap = tmp_path / "snap"
+    db.snapshot_database(snap)
+
+    # mutate, then restore over the live database
+    coll.add([6], vectors=rng.normal(size=(1, 4)).astype(np.float32))
+    coll.commit()
+    with _pytest.raises(Exception, match="already exists"):
+        db.restore_database(snap)
+    assert db.restore_database(snap, overwrite=True) == {"status": "success"}
+    restored = client.get_database("snapdb").get_collection("c", warm_up=False)
+    assert restored.shape[0] == 5  # post-snapshot insert rolled back
+    client.close()

@@ -167,6 +167,24 @@ class HTTPClient:
         )
         return self.get_collection(collection, warm_up=False)
 
+    def set_environment(self, env: dict) -> dict:
+        """Set server-side LYNSE_* environment knobs (reference:
+        client_api.py:473)."""
+        return self._post("/set_environment", {"env": env})["env"]
+
+    def get_environment(self) -> dict:
+        """Read server-side LYNSE_* environment knobs (reference:
+        client_api.py:512)."""
+        return self._post("/get_environment", {})["env"]
+
+    def restore_database(self, snapshot_path, overwrite: bool = False) -> dict:
+        """Restore THIS database from a server-side snapshot path
+        (reference: local_client.py:191 surface, served remotely)."""
+        if overwrite and self.database_exists():
+            self.drop_database()
+        self._post("/restore_database", {"snapshot_path": str(snapshot_path)})
+        return {"status": "success"}
+
     def snapshot_database(self, snapshot_path) -> None:
         self._post("/snapshot_database", {"snapshot_path": str(snapshot_path)})
 
@@ -241,6 +259,22 @@ class Collection:
 
     def is_id_exists(self, id) -> bool:
         return self._post("/is_id_exists", {"id": id})["exists"]
+
+    def exists(self) -> bool:
+        """Whether the collection exists server-side (reference:
+        http client_api.py:812 /is_collection_exists)."""
+        return self._client._post(
+            "/is_collection_exists", {"collection_name": self.name}
+        )["exists"]
+
+    def get_collection_path(self) -> str:
+        """Server-side storage path (reference: client_api.py:2713)."""
+        return self._post("/get_collection_path", {})["path"]
+
+    @property
+    def vector_dtype(self) -> str:
+        """Stored vector dtype (reference: client_api.py:708)."""
+        return self._post("/get_collection_config", {})["dtype"]
 
     def compact(self) -> int:
         return self._post("/compact", {})["reclaimed"]
@@ -725,6 +759,12 @@ class Collection:
             fields=params.get("fields", []),
             result_type="data",
         )
+
+    def read_by_only_id(self, id) -> ResultView:
+        """Fetch item(s) by external id — vectors, ids, fields (reference:
+        client_api.py:2545). Accepts a single id or a list."""
+        ids = id if isinstance(id, (list, tuple)) else [id]
+        return self.query_vectors(filter_ids=list(ids))
 
     def head(self, n: int = 5) -> ResultView:
         params = self._post("/head", {"n": n})

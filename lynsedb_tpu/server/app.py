@@ -246,6 +246,8 @@ class LynseServer:
         r.add_post("/restore_database", self.restore_database)
         r.add_post("/database_exists", self.database_exists)
         r.add_get("/list_databases", self.list_databases)
+        r.add_post("/set_environment", self.set_environment)
+        r.add_post("/get_environment", self.get_environment)
         # collection ops
         r.add_post("/required_collection", self.required_collection)
         r.add_post("/drop_collection", self.drop_collection)
@@ -414,6 +416,43 @@ class LynseServer:
             body["database_name"],
         )
         return _success()
+
+    # env keys a remote client may read/write (reference: client_api.py:473
+    # set_environment / :512 get_environment — the same LYNSE_* set)
+    _ENV_KEYS = (
+        "LYNSE_LOG_LEVEL", "LYNSE_LOG_PATH", "LYNSE_TRUNCATE_LOG",
+        "LYNSE_LOG_WITH_TIME", "LYNSE_KMEANS_EPOCHS",
+        "LYNSE_SEARCH_CACHE_SIZE", "LYNSE_SEARCH_CACHE_EXPIRE_SECONDS",
+    )
+
+    async def set_environment(self, request):
+        from ..configs.config import config
+
+        body = await self._body(request)
+        env = body.get("env") or {}
+        applied = {}
+        for key, value in env.items():
+            if key not in self._ENV_KEYS:
+                raise InvalidArgument(f"unknown or non-settable env key: {key!r}")
+            if not isinstance(value, str):
+                raise InvalidArgument(f"env values must be strings: {key!r}")
+            os.environ[key] = value
+            setattr(config, key, value)
+            applied[key] = value
+        # re-coerce the typed knobs like Config.__init__ does
+        config.LYNSE_KMEANS_EPOCHS = int(config.LYNSE_KMEANS_EPOCHS)
+        config.LYNSE_SEARCH_CACHE_SIZE = int(config.LYNSE_SEARCH_CACHE_SIZE)
+        config.LYNSE_SEARCH_CACHE_EXPIRE_SECONDS = int(
+            config.LYNSE_SEARCH_CACHE_EXPIRE_SECONDS)
+        return _success({"env": applied})
+
+    async def get_environment(self, request):
+        from ..configs.config import config
+
+        await self._body(request)
+        return _success(
+            {"env": {k: str(getattr(config, k, "")) for k in self._ENV_KEYS}}
+        )
 
     # ── collection handlers ──────────────────────────────────────────────
 

@@ -330,3 +330,48 @@ def test_close_and_reopen_collection(url, seeded):
     )
     assert s.status_code == 200
     assert s.json()["params"]["items"]["ids"][0] == 2
+
+
+def test_environment_routes(url, seeded):
+    """set/get_environment (reference client_api.py:473/:512): allowlisted
+    LYNSE_* knobs round-trip; unknown keys and non-string values reject."""
+    r = requests.post(url + "/set_environment",
+                      json={"env": {"LYNSE_KMEANS_EPOCHS": "55"}})
+    assert r.status_code == 200, r.text
+    r = requests.post(url + "/get_environment", json={})
+    assert r.status_code == 200
+    env = r.json()["params"]["env"]
+    assert env["LYNSE_KMEANS_EPOCHS"] == "55"
+    r = requests.post(url + "/set_environment",
+                      json={"env": {"LYNSE_DEFAULT_ROOT_PATH": "/etc"}})
+    assert r.status_code == 400
+    r = requests.post(url + "/set_environment",
+                      json={"env": {"LYNSE_KMEANS_EPOCHS": 55}})
+    assert r.status_code == 400
+    # restore the default so later tests are unaffected
+    requests.post(url + "/set_environment",
+                  json={"env": {"LYNSE_KMEANS_EPOCHS": "100"}})
+
+
+def test_collection_meta_routes_via_client(url, seeded):
+    """exists / get_collection_path / vector_dtype / read_by_only_id through
+    the HTTP client surface (reference client_api.py:812/:2713/:708/:2545)."""
+    import lynsedb_tpu as lynse
+
+    client = lynse.VectorDBClient(url)
+    db = client.get_database("raw")
+    coll = db.get_collection("c", warm_up=False)
+    assert coll.exists() is True
+    assert coll.get_collection_path()
+    assert coll.vector_dtype in ("float32", "f32", "float16", "f16")
+    rv = coll.read_by_only_id(1)
+    assert rv.ids.tolist() == [1] and rv.vectors.shape == (1, 8)
+    rv = coll.read_by_only_id([1, 2])
+    assert sorted(rv.ids.tolist()) == [1, 2]
+    # env knobs through the db-level client
+    env = db.get_environment()
+    assert "LYNSE_LOG_LEVEL" in env
+    assert db.set_environment({"LYNSE_SEARCH_CACHE_SIZE": "500"})[
+        "LYNSE_SEARCH_CACHE_SIZE"] == "500"
+    db.set_environment({"LYNSE_SEARCH_CACHE_SIZE": "1000"})
+    client.close()

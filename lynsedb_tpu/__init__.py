@@ -116,6 +116,48 @@ class VectorDBClient:
 
         return LocalClient(self._manager, database_name)
 
+    def create_collection(
+        self,
+        database_name: str,
+        collection: str,
+        dim: int = None,
+        n_threads: Union[int, None] = 10,
+        warm_up: bool = False,
+        drop_if_exists: bool = False,
+        description: str = None,
+        dtypes: str = "float32",
+        default_index: Union[str, None] = "FLAT-IP",
+        drop_database_if_exists: bool = False,
+    ):
+        """Create or open a database and collection in one call (reference:
+        python/lynse/__init__.py:147)."""
+        if drop_database_if_exists or database_name not in self.list_databases():
+            db = self.create_database(database_name, drop_if_exists=drop_database_if_exists)
+        else:
+            db = self.get_database(database_name)
+        return db.require_collection(
+            collection,
+            dim=dim,
+            n_threads=n_threads,
+            warm_up=warm_up,
+            drop_if_exists=drop_if_exists,
+            description=description,
+            dtypes=dtypes,
+            default_index=default_index,
+        )
+
+    def snapshot_database(self, database_name: str, snapshot_path) -> None:
+        """Create a filesystem snapshot of a database (reference:
+        python/lynse/__init__.py:254)."""
+        if self._is_remote:
+            self._session.post(
+                "/snapshot_database",
+                json={"database_name": database_name,
+                      "snapshot_path": str(snapshot_path)},
+            ).raise_for_error()
+            return
+        self.get_database(database_name).snapshot_database(snapshot_path)
+
     def get_database(self, database_name: str):
         if self._is_remote:
             from .api.http_client import HTTPClient

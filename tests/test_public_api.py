@@ -260,3 +260,35 @@ def test_local_client_restore_database_with_overwrite(tmp_path, rng):
     restored = client.get_database("snapdb").get_collection("c", warm_up=False)
     assert restored.shape[0] == 5  # post-snapshot insert rolled back
     client.close()
+
+
+def test_root_client_create_collection_one_call(tmp_path, rng):
+    """Reference one-call surface (python/lynse/__init__.py:147):
+    create_collection creates/opens the database AND collection."""
+    client = lynse.VectorDBClient(str(tmp_path / "onecall"))
+    coll = client.create_collection("dbx", "c1", dim=4, drop_if_exists=True)
+    coll.add([1], vectors=rng.normal(size=(1, 4)).astype(np.float32))
+    coll.commit()
+    assert client.database_exists("dbx")
+    # reopening without drop returns the same data
+    again = client.create_collection("dbx", "c1")
+    assert again.shape[0] == 1
+    # drop_database_if_exists resets everything
+    fresh = client.create_collection("dbx", "c1", dim=4,
+                                     drop_database_if_exists=True)
+    assert fresh.shape[0] == 0
+    client.close()
+
+
+def test_root_client_snapshot_database(tmp_path, rng):
+    client = lynse.VectorDBClient(str(tmp_path / "snaproot"))
+    coll = client.create_collection("sdb", "c", dim=4, drop_if_exists=True)
+    coll.add([7], vectors=rng.normal(size=(1, 4)).astype(np.float32))
+    coll.commit()
+    snap = tmp_path / "snap_out"
+    client.snapshot_database("sdb", snap)
+    assert snap.exists()
+    restored = client.restore_database(snap, "sdb_copy")
+    got = restored.get_collection("c", warm_up=False)
+    assert got.shape[0] == 1
+    client.close()

@@ -167,6 +167,10 @@ class HTTPClient:
         )
         return self.get_collection(collection, warm_up=False)
 
+    def close(self) -> None:
+        """Close the underlying HTTP session (reference: client_api.py:159)."""
+        self._session.close()
+
     def set_environment(self, env: dict) -> dict:
         """Set server-side LYNSE_* environment knobs (reference:
         client_api.py:473)."""

@@ -631,11 +631,14 @@ class Collection:
         )
 
     def batch_search(self, vectors, k: int = 10, *, where=None, return_fields: bool = False,
-                     nprobe: int = 10, approx: bool = False, eps: float = 1e-4,
+                     vector_field: str = "default", nprobe: int = 10,
+                     approx: bool = False, eps: float = 1e-4,
                      wire_dtype: str = "float32") -> List[ResultView]:
         _wire_np_dtype(wire_dtype)  # validate
         vec = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         try:
+            if vector_field != "default":
+                raise LookupError  # binary route serves the default field only
             raw = self._binary_post(
                 "/batch_search_binary",
                 {
@@ -659,7 +662,8 @@ class Collection:
             out = self._post(
                 "/batch_search",
                 {"vectors": vec.tolist(), "k": k, "where": where,
-                 "return_fields": return_fields, "nprobe": nprobe},
+                 "return_fields": return_fields, "vector_field": vector_field,
+                 "nprobe": nprobe},
             )["results"]
         return [
             self._finish(
@@ -669,12 +673,26 @@ class Collection:
             for items in out
         ]
 
-    def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10) -> dict:
-        return self._post(
+    def search_profile(self, vector, k: int = 10, *, where=None, nprobe: int = 10,
+                       reranker=None, rerank_k=None) -> dict:
+        prof = dict(self._post(
             "/search_profile",
             {"vector": np.asarray(vector, dtype=np.float32).ravel().tolist(), "k": k,
              "where": where, "nprobe": nprobe},
-        )["profile"]
+        )["profile"])
+        if reranker is not None:
+            # the reranker is a client-side callable: run it over a real
+            # search result and account its wall time like the local client
+            import time as _time
+
+            t0 = _time.perf_counter()
+            res = self.search(vector, k=k, where=where, nprobe=nprobe,
+                              return_fields=True, reranker=reranker,
+                              rerank_k=rerank_k)
+            _ = res.ids
+            prof["rerank_us"] = int((_time.perf_counter() - t0) * 1e6)
+            prof["total_us"] = prof.get("total_us", 0) + prof["rerank_us"]
+        return prof
 
     def bm25_search(self, text: str, k: int = 10, *, text_fields=None, where=None,
                     return_fields: bool = False, reranker=None, rerank_k=None,

@@ -745,6 +745,7 @@ class LynseServer:
             vectors,
             k,
             where=body.get("where"),
+            field_name=body.get("vector_field", "default"),
             nprobe=int(body.get("nprobe", 10)),
             approx=bool(body.get("approx", False)),
             eps=float(body.get("eps", 1e-4)),

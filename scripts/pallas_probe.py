@@ -33,22 +33,30 @@ def main() -> None:
     rng = np.random.default_rng(0)
     n_pad = ((N + TILE_N - 1) // TILE_N) * TILE_N
     x = rng.normal(size=(n_pad, D)).astype(np.float32)
-    x16 = jax.device_put(jnp.asarray(x).astype(jnp.bfloat16))
-    x_sq = jnp.sum(x16.astype(jnp.float32) ** 2, axis=-1)
+    mean = x.mean(axis=0)
+    xc = x - mean[None, :]
+    x16 = jax.device_put(jnp.asarray(xc).astype(jnp.bfloat16))
+    xc32 = np.asarray(x16, dtype=np.float32)
+    aux = {
+        "mean": jnp.asarray(mean),
+        "xm": jnp.asarray(xc32 @ mean),
+        "xc_sq": jnp.asarray((xc32 ** 2).sum(axis=1)),
+        "xsq_true": jnp.asarray((x ** 2).sum(axis=1)),
+    }
     valid = jnp.ones(n_pad, dtype=bool)
     x16.block_until_ready()
 
     def xla_pass(q):
-        q16 = q.astype(jnp.bfloat16)
+        qc = (q - aux["mean"][None, :]).astype(jnp.bfloat16)
         ip = jax.lax.dot_general(
-            q16, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            qc, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) + aux["xm"][None, :]
         d, i = masked_top_c(ip, C, False, valid)
         return d
 
     def pallas_pass(q):
-        d, i = first_pass_topc(q, x16, x_sq, valid, metric=Metric.IP, c=C,
+        d, i = first_pass_topc(q, x16, aux, valid, metric=Metric.IP, c=C,
                                ascending=False)
         return d
 

@@ -201,19 +201,30 @@ class DiskANNIndex:
     # 8 MB on device and one tiny matmul per batch. ENTRY_TOP 16/32 moved
     # nothing (0.865 flat) — coverage, not fan-out, is what matters.
     ENTRY_SAMPLE = 16384
-    ENTRY_TOP = 8
+    ENTRY_TOP = 16  # >= k seeds: skewed-MIPS GT rows are mutually unreachable via the walk
+    # For IP the random sample is UNIONED with the top-norm band: on
+    # norm-skewed corpora the MIPS ground truth concentrates entirely in a
+    # few high-norm rows scattered across angular clusters, and random
+    # sample coverage (~82% on the skew fixture) caps recall no matter the
+    # beam — pinning the band makes coverage of the hot rows exact.
+    ENTRY_NORM_TOP = 4096
 
     def _entry_state(self, coll):
-        """Fixed node sample for the per-query entry scan (2 MB at 4096x128
-        f32 — device-resident regardless of layered mode, since the sample
-        is tiny even when the full f32 corpus is not in HBM)."""
+        """Fixed node sample for the per-query entry scan — device-resident
+        regardless of layered mode, since the sample is tiny even when the
+        full f32 corpus is not in HBM. For IP, includes the top-norm band."""
         if self._entry_dev is None:
             n = self.built_rows
+            corpus = coll.corpus()
             rng = np.random.default_rng(1234 + n)
             c = min(n, self.ENTRY_SAMPLE)
             ids = (np.sort(rng.choice(n, size=c, replace=False))
                    if c < n else np.arange(n)).astype(np.int32)
-            rows = coll.corpus().host_rows(ids.astype(np.int64)).astype(np.float32)
+            if self.metric is Metric.IP and n > c:
+                top = min(self.ENTRY_NORM_TOP, n)
+                band = np.argpartition(-corpus.host_sq_norms()[:n], top - 1)[:top]
+                ids = np.unique(np.concatenate([ids, band.astype(np.int32)]))
+            rows = corpus.host_rows(ids.astype(np.int64)).astype(np.float32)
             self._entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
         return self._entry_dev
 

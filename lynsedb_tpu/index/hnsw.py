@@ -156,19 +156,25 @@ class HNSWIndex:
         return self._dev
 
     ENTRY_SAMPLE = 16384  # same sweep evidence as DiskANN (diskann.py)
-    ENTRY_TOP = 8
+    ENTRY_TOP = 16  # >= k seeds: skewed-MIPS GT rows are mutually unreachable via the walk
+    ENTRY_NORM_TOP = 4096  # top-norm band pinned into the IP sample (diskann.py)
 
     def _ip_entry_state(self, corpus):
         """Fixed node sample for the IP per-query entry scan (same design as
         DiskANN's — the greedy descent yields one angular-nearest entry, but
         MIPS winners concentrate at high norms, so the beam also needs
-        entries picked under the true IP score)."""
+        entries picked under the true IP score). The random sample is
+        unioned with the top-norm band (see diskann.py ENTRY_NORM_TOP)."""
         if getattr(self, "_ip_entry_dev", None) is None:
             n = self.built_rows
             rng = np.random.default_rng(1234 + n)
             c = min(n, self.ENTRY_SAMPLE)
             ids = (np.sort(rng.choice(n, size=c, replace=False))
                    if c < n else np.arange(n)).astype(np.int32)
+            if n > c:
+                top = min(self.ENTRY_NORM_TOP, n)
+                band = np.argpartition(-corpus.host_sq_norms()[:n], top - 1)[:top]
+                ids = np.unique(np.concatenate([ids, band.astype(np.int32)]))
             rows = corpus.host_rows(ids.astype(np.int64)).astype(np.float32)
             self._ip_entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
         return self._ip_entry_dev

@@ -935,6 +935,14 @@ class DeviceCorpus:
             raise ValueError("bf16 device array unavailable (streaming or empty corpus)")
         return self._dev16
 
+    def host_sq_norms(self) -> np.ndarray:
+        """True squared row norms (n,) from the staging aux — free after the
+        first staging pass. Used by the graph indexes' IP entry scans to pin
+        the top-norm band into the sampled entry set (MIPS winners
+        concentrate at high norms)."""
+        self._ensure_staged()
+        return self._xsqtrue_host[: self.n]
+
     def bf16_aux(self) -> dict:
         """Device aux arrays for the centered bf16 proxies: mean (D,),
         xm (cap,), xc_sq (cap,), xsq_true (cap,) — see _bf16_scores."""

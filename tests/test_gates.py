@@ -100,3 +100,30 @@ def test_recall_floor_clustered(clustered_gate_collection, mode, floor, skw, bkw
     reference calibration: benchmarks/gate_index_modes.py:259)."""
     coll, data, queries = clustered_gate_collection
     _run_gate(coll, data, queries, mode, floor, skw, bkw, NC)
+
+
+@pytest.fixture(scope="module")
+def norm_skewed_gate_collection(tmp_path_factory):
+    """Raw-MIPS stress: clustered data with a 6x norm-skewed subset. MIPS
+    winners concentrate in the high-norm band, which an angular graph only
+    reaches through entry coverage — the failure mode behind the r4 gate's
+    HNSW-IP/DISKANN-IP 0.89 rows (fixed by the 16384-row entry sample +
+    IP beam oversample; this fixture keeps it fixed)."""
+    data, queries = _make_clustered(NC, N_QUERIES, DIMC, seed=11)
+    rng = np.random.default_rng(13)
+    boost = rng.choice(len(data), size=len(data) // 50, replace=False)
+    data[boost] *= 6.0
+    client, out = _gate_fixture(tmp_path_factory, "gates_norm_skew", data, queries)
+    yield out
+    client.close()
+
+
+_IP_GRAPH_MODES = [g for g in GATES if g[0] in ("HNSW-IP", "DISKANN-IP")]
+
+
+@pytest.mark.parametrize("mode,floor,skw,bkw", _IP_GRAPH_MODES,
+                         ids=[g[0] for g in _IP_GRAPH_MODES])
+def test_recall_floor_norm_skewed_mips(norm_skewed_gate_collection, mode,
+                                       floor, skw, bkw):
+    coll, data, queries = norm_skewed_gate_collection
+    _run_gate(coll, data, queries, mode, floor, skw, bkw, NC)

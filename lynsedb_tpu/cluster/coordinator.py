@@ -817,6 +817,7 @@ class BackgroundCoordinator:
         self.host = host
         self.port = port
         self._started = threading.Event()
+        self._start_error: Optional[BaseException] = None
 
         def serve():
             loop = asyncio.new_event_loop()
@@ -835,13 +836,22 @@ class BackgroundCoordinator:
                 self._runner = runner
                 self._started.set()
 
-            loop.run_until_complete(start())
+            try:
+                loop.run_until_complete(start())
+            except BaseException as exc:  # surface bind/setup errors promptly
+                self._start_error = exc
+                self._started.set()
+                return
             loop.run_forever()
 
         self._thread = threading.Thread(target=serve, daemon=True)
         self._thread.start()
         if not self._started.wait(timeout=30):
             raise RuntimeError("coordinator failed to start")
+        if self._start_error is not None:
+            raise RuntimeError(
+                f"coordinator failed to start: {self._start_error}"
+            ) from self._start_error
         if self.lease:
             self.lease.tick(self.url)
         if health_loop:

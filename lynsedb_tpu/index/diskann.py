@@ -31,6 +31,7 @@ from ..ops.graph import (
     beam_search_bf16,
     beam_search_pq,
     build_vamana,
+    entry_sample_ids,
     entry_scan,
     insert_points,
     reconnect_orphans,
@@ -216,14 +217,11 @@ class DiskANNIndex:
         if self._entry_dev is None:
             n = self.built_rows
             corpus = coll.corpus()
-            rng = np.random.default_rng(1234 + n)
-            c = min(n, self.ENTRY_SAMPLE)
-            ids = (np.sort(rng.choice(n, size=c, replace=False))
-                   if c < n else np.arange(n)).astype(np.int32)
-            if self.metric is Metric.IP and n > c:
-                top = min(self.ENTRY_NORM_TOP, n)
-                band = np.argpartition(-corpus.host_sq_norms()[:n], top - 1)[:top]
-                ids = np.unique(np.concatenate([ids, band.astype(np.int32)]))
+            ip = self.metric is Metric.IP
+            ids = entry_sample_ids(
+                n, self.ENTRY_SAMPLE,
+                sq_norms=corpus.host_sq_norms() if ip else None,
+                norm_top=self.ENTRY_NORM_TOP if ip else 0)
             rows = corpus.host_rows(ids.astype(np.int64)).astype(np.float32)
             self._entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
         return self._entry_dev

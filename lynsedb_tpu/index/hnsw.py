@@ -24,6 +24,7 @@ from ..ops.graph import (
     beam_search,
     beam_search_bf16,
     build_vamana,
+    entry_sample_ids,
     exact_knn_graph,
     insert_points,
 )
@@ -167,14 +168,9 @@ class HNSWIndex:
         unioned with the top-norm band (see diskann.py ENTRY_NORM_TOP)."""
         if getattr(self, "_ip_entry_dev", None) is None:
             n = self.built_rows
-            rng = np.random.default_rng(1234 + n)
-            c = min(n, self.ENTRY_SAMPLE)
-            ids = (np.sort(rng.choice(n, size=c, replace=False))
-                   if c < n else np.arange(n)).astype(np.int32)
-            if n > c:
-                top = min(self.ENTRY_NORM_TOP, n)
-                band = np.argpartition(-corpus.host_sq_norms()[:n], top - 1)[:top]
-                ids = np.unique(np.concatenate([ids, band.astype(np.int32)]))
+            ids = entry_sample_ids(n, self.ENTRY_SAMPLE,
+                                   sq_norms=corpus.host_sq_norms(),
+                                   norm_top=self.ENTRY_NORM_TOP)
             rows = corpus.host_rows(ids.astype(np.int64)).astype(np.float32)
             self._ip_entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
         return self._ip_entry_dev

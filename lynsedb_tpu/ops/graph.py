@@ -40,6 +40,62 @@ import os as _os
 BEAM_EXPAND = int(_os.environ.get("LYNSE_TPU_BEAM_EXPAND", "1"))
 
 
+def _resolve_expand(expand: int | None, beam: int) -> int:
+    """Resolve the per-step expansion width BEFORE tracing.
+
+    The jitted kernels take ``expand`` as a static argument so the value is
+    part of the executable cache key; resolving the ``BEAM_EXPAND`` default
+    here (in the un-jitted wrappers) means a kernel never closes over the
+    module global — a cached executable traced under one value can't be
+    silently reused after the global (or env var) changes."""
+    return max(1, min(expand if expand is not None else BEAM_EXPAND, beam))
+
+
+def _mask_step_dups(fresh, nbrs, rows_idx):
+    """Within one lockstep step, mask all but the first occurrence of each
+    neighbor id per row. Two expanded nodes sharing a neighbor would each
+    pass the visited check and occupy two pool slots; the argsort groups
+    equal ids so runs can be detected, and the scatter back through
+    ``order`` is a per-row permutation, so first-occurrence masking is
+    exact. Traced twin of the numpy-side _mask_dup_cands."""
+    b = fresh.shape[0]
+    sort_key = jnp.where(fresh, nbrs, jnp.int32(2**30))
+    order = jnp.argsort(sort_key, axis=1)
+    srt = jnp.take_along_axis(sort_key, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((b, 1), bool),
+         (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] < 2**30)], axis=1)
+    dup = jnp.zeros_like(fresh).at[rows_idx, order].set(dup_sorted)
+    return fresh & ~dup
+
+
+def entry_sample_ids(n: int, sample: int, *, sq_norms=None,
+                     norm_top: int = 0, seed: int = 1234) -> np.ndarray:
+    """Deterministic entry-scan node sample with a FIXED size per capacity.
+
+    When a top-norm band is requested (raw-MIPS: the ground truth
+    concentrates in high-norm rows the walk can't reach, so the band must
+    be covered exactly), the random part is drawn from the band's
+    COMPLEMENT rather than unioned afterwards — the result is exactly
+    ``min(sample, n - top) + top`` distinct rows, so the jitted entry_scan
+    keeps one input shape across commits instead of recompiling on every
+    data-dependent union size (45-200 s per executable on the dev tunnel)."""
+    rng = np.random.default_rng(seed + n)
+    if sq_norms is not None and norm_top > 0 and n > sample:
+        top = min(norm_top, n)
+        band = np.argpartition(-np.asarray(sq_norms)[:n], top - 1)[:top]
+        band = band.astype(np.int32)
+        mask = np.ones(n, dtype=bool)
+        mask[band] = False
+        rest = np.nonzero(mask)[0].astype(np.int32)
+        c = min(sample, rest.size)
+        picked = rng.choice(rest, size=c, replace=False) if c < rest.size else rest
+        return np.sort(np.concatenate([picked.astype(np.int32), band]))
+    c = min(n, sample)
+    return (np.sort(rng.choice(n, size=c, replace=False))
+            if c < n else np.arange(n)).astype(np.int32)
+
+
 def _keyed_pairwise(q, x, metric: Metric):
     """(B, C) similarity keys (bigger = better) between query and rows."""
     qt = D.query_transform(q, metric)
@@ -49,7 +105,7 @@ def _keyed_pairwise(q, x, metric: Metric):
 
 
 @partial(jax.jit, static_argnames=("metric", "beam", "max_steps", "k", "expand"))
-def beam_search(
+def _beam_search_jit(
     q: jnp.ndarray,  # (B, D)
     corpus: jnp.ndarray,  # (N, D) f32
     graph: jnp.ndarray,  # (N, R) int32, -1 padded
@@ -60,7 +116,7 @@ def beam_search(
     beam: int,
     max_steps: int,
     k: int,
-    expand: int | None = None,
+    expand: int,
 ):
     """Batched best-first beam search. Returns (keys (B,k), ids (B,k),
     scanned (B,)) with ids == -1 where the pool ran dry; keys are oriented
@@ -94,7 +150,7 @@ def beam_search(
     visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
 
     qt_rows = q  # raw; distances recomputed per expansion
-    e = max(1, min(expand if expand is not None else BEAM_EXPAND, beam))
+    e = expand
     rows_idx = jnp.arange(b)[:, None]
 
     def step(state):
@@ -110,19 +166,13 @@ def beam_search(
         nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
         safe_nbrs = jnp.maximum(nbrs, 0)
         seen = visited[rows_idx, safe_nbrs]
-        fresh = nbr_ok & ~seen
-        # first-occurrence-only within the step (see beam_search_bf16)
-        sort_key = jnp.where(fresh, nbrs, jnp.int32(2**30))
-        order = jnp.argsort(sort_key, axis=1)
-        srt = jnp.take_along_axis(sort_key, order, axis=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((b, 1), bool),
-             (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] < 2**30)], axis=1)
-        dup = jnp.zeros_like(fresh).at[rows_idx, order].set(dup_sorted)
-        fresh = fresh & ~dup
-        visited = visited.at[rows_idx, safe_nbrs].set(
-            visited[rows_idx, safe_nbrs] | fresh
-        )
+        fresh = _mask_step_dups(nbr_ok & ~seen, nbrs, rows_idx)
+        # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
+        # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
+        # write of a stale False could race out the True — un-marking a
+        # node added to the pool this step, letting a later parent re-add
+        # it (observed as duplicate pool ids under expand>1)
+        visited = visited.at[rows_idx, safe_nbrs].max(fresh)
 
         rows = corpus[safe_nbrs]  # (B, E*R, D)
         keys = jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(qt_rows, rows)
@@ -151,8 +201,17 @@ def beam_search(
     return top_keys, top_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps"))
-def beam_search_pq(
+def beam_search(q, corpus, graph, starts, valid, *, metric: Metric,
+                beam: int, max_steps: int, k: int,
+                expand: int | None = None):
+    """See _beam_search_jit; resolves the ``expand`` default eagerly."""
+    return _beam_search_jit(q, corpus, graph, starts, valid, metric=metric,
+                            beam=beam, max_steps=max_steps, k=k,
+                            expand=_resolve_expand(expand, beam))
+
+
+@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps", "expand"))
+def _beam_search_pq_jit(
     q: jnp.ndarray,  # (B, D) f32
     codes: jnp.ndarray,  # (N, M) uint8/int32 PQ codes (device-resident)
     codebooks: jnp.ndarray,  # (M, 256, Ds) f32
@@ -164,6 +223,7 @@ def beam_search_pq(
     metric_kind: str,  # "ip" | "l2" | "cos"
     beam: int,
     max_steps: int,
+    expand: int,
 ):
     """PQ-guided batched beam search (the layered DiskANN search plane,
     reference: diskann.rs:602 search_graph_pq + :276 flush_layered).
@@ -220,7 +280,7 @@ def beam_search_pq(
     visited = jnp.zeros((b, n), dtype=bool)
     visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
 
-    e = max(1, min(BEAM_EXPAND, beam))
+    e = expand
     rows_idx = jnp.arange(b)[:, None]
 
     def step(state):
@@ -235,19 +295,13 @@ def beam_search_pq(
         nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
         safe_nbrs = jnp.maximum(nbrs, 0)
         seen = visited[rows_idx, safe_nbrs]
-        fresh = nbr_ok & ~seen
-        # first-occurrence-only within the step (see beam_search_bf16)
-        sort_key = jnp.where(fresh, nbrs, jnp.int32(2**30))
-        order = jnp.argsort(sort_key, axis=1)
-        srt = jnp.take_along_axis(sort_key, order, axis=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((b, 1), bool),
-             (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] < 2**30)], axis=1)
-        dup = jnp.zeros_like(fresh).at[rows_idx, order].set(dup_sorted)
-        fresh = fresh & ~dup
-        visited = visited.at[rows_idx, safe_nbrs].set(
-            visited[rows_idx, safe_nbrs] | fresh
-        )
+        fresh = _mask_step_dups(nbr_ok & ~seen, nbrs, rows_idx)
+        # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
+        # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
+        # write of a stale False could race out the True — un-marking a
+        # node added to the pool this step, letting a later parent re-add
+        # it (observed as duplicate pool ids under expand>1)
+        visited = visited.at[rows_idx, safe_nbrs].max(fresh)
         keys = keyed_ids(safe_nbrs)
         keys = jnp.where(fresh & valid[safe_nbrs], keys, NEG_INF)
 
@@ -270,8 +324,18 @@ def beam_search_pq(
     return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
 
 
+def beam_search_pq(q, codes, codebooks, row_sq, graph, starts, valid, *,
+                   metric_kind: str, beam: int, max_steps: int,
+                   expand: int | None = None):
+    """See _beam_search_pq_jit; resolves the ``expand`` default eagerly."""
+    return _beam_search_pq_jit(q, codes, codebooks, row_sq, graph, starts,
+                               valid, metric_kind=metric_kind, beam=beam,
+                               max_steps=max_steps,
+                               expand=_resolve_expand(expand, beam))
+
+
 @partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps", "expand"))
-def beam_search_bf16(
+def _beam_search_bf16_jit(
     q: jnp.ndarray,  # (B, D) f32
     dev16: jnp.ndarray,  # (cap, D) bf16, MEAN-CENTERED rows (DeviceCorpus.data16)
     mean: jnp.ndarray,  # (D,) f32 corpus mean
@@ -285,7 +349,7 @@ def beam_search_bf16(
     metric_kind: str,  # "ip" | "l2" | "cos"
     beam: int,
     max_steps: int,
-    expand: int | None = None,
+    expand: int,
 ):
     """Beam search guided by the RESIDENT centered-bf16 scan array.
 
@@ -341,7 +405,7 @@ def beam_search_bf16(
     visited = jnp.zeros((b, n), dtype=bool)
     visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
 
-    e = max(1, min(expand if expand is not None else BEAM_EXPAND, beam))
+    e = expand
     rows_idx = jnp.arange(b)[:, None]
 
     def step(state):
@@ -358,21 +422,13 @@ def beam_search_bf16(
         nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
         safe_nbrs = jnp.maximum(nbrs, 0)
         seen = visited[rows_idx, safe_nbrs]
-        fresh = nbr_ok & ~seen
-        # within-step duplicates (two expanded nodes sharing a neighbor)
-        # would each pass the visited check and occupy two pool slots —
-        # mask all but the first occurrence per row
-        sort_key = jnp.where(fresh, nbrs, jnp.int32(2**30))
-        order = jnp.argsort(sort_key, axis=1)
-        srt = jnp.take_along_axis(sort_key, order, axis=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((b, 1), bool),
-             (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] < 2**30)], axis=1)
-        dup = jnp.zeros_like(fresh).at[rows_idx, order].set(dup_sorted)
-        fresh = fresh & ~dup
-        visited = visited.at[rows_idx, safe_nbrs].set(
-            visited[rows_idx, safe_nbrs] | fresh
-        )
+        fresh = _mask_step_dups(nbr_ok & ~seen, nbrs, rows_idx)
+        # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
+        # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
+        # write of a stale False could race out the True — un-marking a
+        # node added to the pool this step, letting a later parent re-add
+        # it (observed as duplicate pool ids under expand>1)
+        visited = visited.at[rows_idx, safe_nbrs].max(fresh)
         keys = jnp.where(fresh & valid[safe_nbrs], keyed_ids(safe_nbrs), NEG_INF)
 
         all_keys = jnp.concatenate([pool_keys, keys], axis=1)
@@ -392,6 +448,16 @@ def beam_search_bf16(
     )
     pool_ids = jnp.where(pool_keys > NEG_INF, pool_ids, -1)
     return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
+
+
+def beam_search_bf16(q, dev16, mean, xm, xc_sq, xsq_true, graph, starts,
+                     valid, *, metric_kind: str, beam: int, max_steps: int,
+                     expand: int | None = None):
+    """See _beam_search_bf16_jit; resolves the ``expand`` default eagerly."""
+    return _beam_search_bf16_jit(q, dev16, mean, xm, xc_sq, xsq_true, graph,
+                                 starts, valid, metric_kind=metric_kind,
+                                 beam=beam, max_steps=max_steps,
+                                 expand=_resolve_expand(expand, beam))
 
 
 @partial(jax.jit, static_argnames=("metric", "s"))
@@ -807,6 +873,11 @@ def _link_points_batch(graph: np.ndarray, graph_dev, ids: np.ndarray,
     keys, cands, _ = beam_search(
         q, corpus_rows, graph_dev, starts, valid,
         metric=metric, beam=l_build, max_steps=l_build * 2, k=l_build,
+        # construction always uses single-expansion best-first: wider
+        # expansion measurably degrades candidate quality (0.975 vs 0.912
+        # recall on the toy A/B) and build edges persist to disk, so the
+        # LYNSE_TPU_BEAM_EXPAND search knob must never leak into builds
+        expand=1,
     )
     keys = np.asarray(keys)
     cands = np.asarray(cands)

@@ -53,7 +53,7 @@ def main():
             coll.batch_search(sets[r], K, nprobe=100)
         qps = b / ((time.perf_counter() - t0) / reps)
         print(f"B={b}: recall@10={hits/(ngt*K):.3f}  {qps:,.0f} QPS "
-              f"({1e3*b/qps/b:.2f} ms/q)", flush=True)
+              f"({1e3/qps:.2f} ms/q)", flush=True)
     client.close()
 
 

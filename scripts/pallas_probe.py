@@ -36,7 +36,10 @@ def main() -> None:
     mean = x.mean(axis=0)
     xc = x - mean[None, :]
     x16 = jax.device_put(jnp.asarray(xc).astype(jnp.bfloat16))
-    xc32 = np.asarray(x16, dtype=np.float32)
+    # reproduce the bf16 round-trip host-side (ops/scan._convert_block does
+    # the same) instead of pulling ~N*D*2 bytes back through the tunnel
+    import ml_dtypes
+    xc32 = xc.astype(ml_dtypes.bfloat16).astype(np.float32)
     aux = {
         "mean": jnp.asarray(mean),
         "xm": jnp.asarray(xc32 @ mean),

@@ -384,11 +384,19 @@ def test_standby_proxies_binary_to_leader(tmp_path_factory, rng):
         "metadata": {"kind": "local", "path": str(roots / "meta.json")},
         "shard_groups": [{"name": "g0", "primary": shard.url, "replicas": []}],
     }
-    p1, p2 = _free_port(), _free_port()
-    c1 = BackgroundCoordinator(config, port=p1, coordinator_id="c1",
-                               health_loop=False, lease=True)
-    c2 = BackgroundCoordinator(config, port=p2, coordinator_id="c2",
-                               health_loop=False, lease=True)
+    def _start(cid):
+        # _free_port probe->bind is racy; retry with a fresh port on loss
+        for attempt in range(3):
+            try:
+                return BackgroundCoordinator(config, port=_free_port(),
+                                             coordinator_id=cid,
+                                             health_loop=False, lease=True)
+            except RuntimeError:
+                if attempt == 2:
+                    raise
+
+    c1 = _start("c1")
+    c2 = _start("c2")
     try:
         assert c1.lease.tick(c1.url)       # c1 takes the lease
         assert not c2.lease.tick(c2.url)   # c2 learns it is standby

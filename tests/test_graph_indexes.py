@@ -486,3 +486,70 @@ def test_diskann_legacy_resident_index_lazy_pq_on_stream(db, graph_data, monkeyp
     from lynsedb_tpu.index.diskann import DiskANNIndex
     loaded = DiskANNIndex.load(coll._engine, idx.mode, idx)
     assert loaded.layered
+
+
+@pytest.mark.parametrize("expand", [2, 4])
+def test_beam_search_multi_expand(rng, expand):
+    """The expand>1 lockstep path (top-E expansion + E-way cross-parent
+    dedup) must return duplicate-free pools with near-single-expansion
+    recall; only reachable via the expand kwarg / LYNSE_TPU_BEAM_EXPAND."""
+    n, d = 800, 16
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    graph = exact_knn_graph(jnp.asarray(x), Metric.L2, 12)
+    q = rng.normal(size=(6, d)).astype(np.float32)
+    keys, ids, scanned = beam_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(graph),
+        jnp.asarray([0], dtype=jnp.int32), jnp.ones(n, dtype=bool),
+        metric=Metric.L2, beam=48, max_steps=96, k=10, expand=expand,
+    )
+    ids = np.asarray(ids)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(real) == len(set(real.tolist())), "duplicate pool ids"
+    want = np.argsort(((x[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :10]
+    total = sum(_recall(ids[i], want[i]) for i in range(len(q))) / len(q)
+    assert total >= 0.8, f"expand={expand} recall {total:.3f}"
+
+
+def test_beam_expand_global_not_trace_bound(rng, monkeypatch):
+    """BEAM_EXPAND is resolved eagerly in the un-jitted wrappers: changing
+    the module global after a kernel has traced must take effect (a stale
+    executable keyed on the old value must not be silently reused)."""
+    from lynsedb_tpu.ops import graph as G
+    n, d = 300, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    graph = exact_knn_graph(jnp.asarray(x), Metric.L2, 8)
+    q = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
+    args = (q, jnp.asarray(x), jnp.asarray(graph),
+            jnp.asarray([0], dtype=jnp.int32), jnp.ones(n, dtype=bool))
+    kw = dict(metric=Metric.L2, beam=16, max_steps=8, k=5)
+    monkeypatch.setattr(G, "BEAM_EXPAND", 1)
+    _, _, scanned1 = G.beam_search(*args, **kw)
+    monkeypatch.setattr(G, "BEAM_EXPAND", 4)
+    _, _, scanned4 = G.beam_search(*args, **kw)
+    # 4-way expansion visits strictly more nodes in the same 8 bounded steps
+    assert int(np.asarray(scanned4).sum()) > int(np.asarray(scanned1).sum())
+
+
+def test_entry_sample_ids_fixed_shape_and_band_coverage(rng):
+    """entry_sample_ids must (a) return a size that depends only on
+    (n, sample, norm_top) — NOT on how the random sample overlaps the norm
+    band — so the jitted entry_scan never recompiles across commits at the
+    same capacity, and (b) cover the top-norm band exactly."""
+    from lynsedb_tpu.ops.graph import entry_sample_ids
+    n, sample, top = 50_000, 16_384, 4_096
+    sizes = set()
+    for seed in (1234, 99, 7):
+        sq = rng.normal(size=n).astype(np.float32) ** 2
+        ids = entry_sample_ids(n, sample, sq_norms=sq, norm_top=top,
+                               seed=seed)
+        assert len(ids) == len(np.unique(ids))
+        band = np.argpartition(-sq, top - 1)[:top]
+        assert np.isin(band, ids).all(), "top-norm band not fully covered"
+        sizes.add(len(ids))
+    assert sizes == {sample + top}
+    # small-n fallbacks: whole corpus below sample; all-rows when the
+    # complement is smaller than the requested sample
+    assert np.array_equal(entry_sample_ids(1000, sample), np.arange(1000))
+    sq = rng.normal(size=17_000).astype(np.float32) ** 2
+    assert len(entry_sample_ids(17_000, sample, sq_norms=sq, norm_top=top)) == 17_000

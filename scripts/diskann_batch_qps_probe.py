@@ -38,9 +38,16 @@ def main():
     coll = client.get_database("diag").get_collection("c")
     coll._engine._search_cache.max_size = 0
 
-    for b in (64, 256, 1024):
+    from lynsedb_tpu.ops import graph as G
+
+    # (batch, expand) grid: expand>1 cuts the lockstep step count ~E x at
+    # some recall cost (graph.py BEAM_EXPAND); the beam wrappers resolve
+    # the module global per call, so sweeping it in-process is sound.
+    # Expand swept only at B=256 to bound tunnel compile count.
+    for b, expand in ((64, 1), (256, 1), (256, 2), (256, 4), (1024, 1)):
+        G.BEAM_EXPAND = expand
         qs = queries[:b]
-        res = coll.batch_search(qs, K, nprobe=100)  # warm/compile this B
+        res = coll.batch_search(qs, K, nprobe=100)  # warm/compile this (B,E)
         hits = 0
         ngt = min(b, len(gt))
         for i in range(ngt):
@@ -52,8 +59,8 @@ def main():
         for r in range(reps):
             coll.batch_search(sets[r], K, nprobe=100)
         qps = b / ((time.perf_counter() - t0) / reps)
-        print(f"B={b}: recall@10={hits/(ngt*K):.3f}  {qps:,.0f} QPS "
-              f"({1e3/qps:.2f} ms/q)", flush=True)
+        print(f"B={b} expand={expand}: recall@10={hits/(ngt*K):.3f}  "
+              f"{qps:,.0f} QPS ({1e3/qps:.2f} ms/q)", flush=True)
     client.close()
 
 

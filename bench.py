@@ -253,6 +253,25 @@ def main() -> None:
                 hcoll.search(queries[i % N_QUERIES], k=K)
             http_ms = (time.perf_counter() - t0) / 50 * 1e3
             log(f"HTTP service search (100k): {http_ms:.3f} ms | QPS {1e3 / http_ms:,.0f}")
+
+            # concurrent load: the server-side micro-batcher coalesces
+            # parallel single-query requests into fused dispatch windows
+            # (the TPU answer to the reference's multi-worker serving,
+            # server/mod.rs:5019) — sequential latency above can't see it
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_req, workers = 200, 16
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(  # warm the coalesced executable
+                    lambda i: hcoll.search(queries[i % N_QUERIES], k=K),
+                    range(workers)))
+                t0 = time.perf_counter()
+                list(pool.map(
+                    lambda i: hcoll.search(queries[i % N_QUERIES], k=K),
+                    range(n_req)))
+                conc_s = time.perf_counter() - t0
+            log(f"HTTP concurrent search (100k, {workers} threads): "
+                f"{1e3 * conc_s / n_req:.3f} ms/query | QPS {n_req / conc_s:,.0f}")
             srv.stop()
 
         client.close()

@@ -166,7 +166,11 @@ def _beam_search_jit(
         nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
         safe_nbrs = jnp.maximum(nbrs, 0)
         seen = visited[rows_idx, safe_nbrs]
-        fresh = _mask_step_dups(nbr_ok & ~seen, nbrs, rows_idx)
+        fresh = nbr_ok & ~seen
+        if e > 1:  # static branch: a single parent's adjacency row is
+            # duplicate-free by construction (robust prune + build-side
+            # dedup), so the cross-parent mask would be a per-step no-op
+            fresh = _mask_step_dups(fresh, nbrs, rows_idx)
         # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
         # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
         # write of a stale False could race out the True — un-marking a
@@ -295,7 +299,11 @@ def _beam_search_pq_jit(
         nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
         safe_nbrs = jnp.maximum(nbrs, 0)
         seen = visited[rows_idx, safe_nbrs]
-        fresh = _mask_step_dups(nbr_ok & ~seen, nbrs, rows_idx)
+        fresh = nbr_ok & ~seen
+        if e > 1:  # static branch: a single parent's adjacency row is
+            # duplicate-free by construction (robust prune + build-side
+            # dedup), so the cross-parent mask would be a per-step no-op
+            fresh = _mask_step_dups(fresh, nbrs, rows_idx)
         # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
         # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
         # write of a stale False could race out the True — un-marking a
@@ -422,7 +430,11 @@ def _beam_search_bf16_jit(
         nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
         safe_nbrs = jnp.maximum(nbrs, 0)
         seen = visited[rows_idx, safe_nbrs]
-        fresh = _mask_step_dups(nbr_ok & ~seen, nbrs, rows_idx)
+        fresh = nbr_ok & ~seen
+        if e > 1:  # static branch: a single parent's adjacency row is
+            # duplicate-free by construction (robust prune + build-side
+            # dedup), so the cross-parent mask would be a per-step no-op
+            fresh = _mask_step_dups(fresh, nbrs, rows_idx)
         # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
         # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
         # write of a stale False could race out the True — un-marking a

@@ -183,10 +183,11 @@ class HTTPClient:
 
     def restore_database(self, snapshot_path, overwrite: bool = False) -> dict:
         """Restore THIS database from a server-side snapshot path
-        (reference: local_client.py:191 surface, served remotely)."""
-        if overwrite and self.database_exists():
-            self.drop_database()
-        self._post("/restore_database", {"snapshot_path": str(snapshot_path)})
+        (reference: local_client.py:191 surface, served remotely). The
+        overwrite drop happens SERVER-side, after the snapshot path is
+        validated — a bad path must never cost the existing database."""
+        self._post("/restore_database", {"snapshot_path": str(snapshot_path),
+                                         "overwrite": bool(overwrite)})
         return {"status": "success"}
 
     def snapshot_database(self, snapshot_path) -> None:
@@ -637,8 +638,10 @@ class Collection:
         _wire_np_dtype(wire_dtype)  # validate
         vec = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         try:
-            if vector_field != "default":
-                raise LookupError  # binary route serves the default field only
+            if vector_field != "default" or return_fields:
+                # binary route serves the default field only and carries no
+                # field payloads — the JSON route handles both
+                raise LookupError
             raw = self._binary_post(
                 "/batch_search_binary",
                 {
@@ -648,6 +651,8 @@ class Collection:
                     "k": k,
                     "where": where,
                     "nprobe": nprobe,
+                    "approx": approx,
+                    "eps": eps,
                 },
             )["results"]
             out = [
@@ -663,7 +668,7 @@ class Collection:
                 "/batch_search",
                 {"vectors": vec.tolist(), "k": k, "where": where,
                  "return_fields": return_fields, "vector_field": vector_field,
-                 "nprobe": nprobe},
+                 "nprobe": nprobe, "approx": approx, "eps": eps},
             )["results"]
         return [
             self._finish(
@@ -681,15 +686,23 @@ class Collection:
              "where": where, "nprobe": nprobe},
         )["profile"])
         if reranker is not None:
-            # the reranker is a client-side callable: run it over a real
-            # search result and account its wall time like the local client
+            # rerank_us must time ONLY the reranker application (the local
+            # client's contract) — fetch the result first, untimed, then
+            # time the rerank pass over it
             import time as _time
 
-            t0 = _time.perf_counter()
             res = self.search(vector, k=k, where=where, nprobe=nprobe,
-                              return_fields=True, reranker=reranker,
-                              rerank_k=rerank_k)
-            _ = res.ids
+                              return_fields=True)
+            t0 = _time.perf_counter()
+            apply_external_rerank(
+                ids=np.array(list(res.ids), dtype=object),
+                scores=np.asarray(res.distances, dtype=np.float32),
+                fields=list(res.fields),
+                reranker=reranker,
+                query={"type": "vector_search", "where": where,
+                       "nprobe": nprobe},
+                rerank_k=rerank_k,
+            )
             prof["rerank_us"] = int((_time.perf_counter() - t0) * 1e6)
             prof["total_us"] = prof.get("total_us", 0) + prof["rerank_us"]
         return prof

@@ -90,8 +90,14 @@ class LocalClient:
         """Restore THIS database from a filesystem snapshot (reference:
         python/lynse/api/local_client.py:191 — same name + overwrite flag).
         Refuses to clobber an existing database unless ``overwrite``."""
+        from pathlib import Path
+
         from ..engine.errors import InvalidArgument
 
+        if not Path(snapshot_path).exists():
+            # validate BEFORE any drop: a bad path must never cost the
+            # existing database
+            raise InvalidArgument(f"snapshot not found: {snapshot_path}")
         if self._manager.database_exists(self.database_name):
             if not overwrite:
                 raise InvalidArgument(

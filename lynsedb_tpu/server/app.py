@@ -40,6 +40,7 @@ MUTATING_ROUTES = {
     "/remove_index", "/build_vector_field_index", "/remove_vector_field_index",
     "/create_vector_field", "/commit", "/flush", "/checkpoint", "/compact",
     "/close_collection", "/update_collection_description", "/update_description",
+    "/set_environment",
 }
 
 
@@ -410,11 +411,21 @@ class LynseServer:
 
     async def restore_database(self, request):
         body = await self._body(request)
-        await self._run(
-            self.manager.restore_database_from_snapshot,
-            body["snapshot_path"],
-            body["database_name"],
-        )
+
+        def _restore():
+            from pathlib import Path
+            name = body["database_name"]
+            # validate the snapshot BEFORE any drop: a bad path (or a
+            # read-only manager) must never cost the existing database
+            if not Path(body["snapshot_path"]).exists():
+                raise InvalidArgument(
+                    f"snapshot not found: {body['snapshot_path']}")
+            if body.get("overwrite") and self.manager.database_exists(name):
+                self.manager.drop_database(name)
+            self.manager.restore_database_from_snapshot(
+                body["snapshot_path"], name)
+
+        await self._run(_restore)
         return _success()
 
     # env keys a remote client may read/write (reference: client_api.py:473
@@ -430,20 +441,27 @@ class LynseServer:
 
         body = await self._body(request)
         env = body.get("env") or {}
-        applied = {}
+        _INT_KEYS = ("LYNSE_KMEANS_EPOCHS", "LYNSE_SEARCH_CACHE_SIZE",
+                     "LYNSE_SEARCH_CACHE_EXPIRE_SECONDS")
+        # validate the WHOLE payload before mutating anything: a partial
+        # apply (or a typed knob left holding an unparseable string) would
+        # corrupt config state after a 400
         for key, value in env.items():
             if key not in self._ENV_KEYS:
                 raise InvalidArgument(f"unknown or non-settable env key: {key!r}")
             if not isinstance(value, str):
                 raise InvalidArgument(f"env values must be strings: {key!r}")
+            if key in _INT_KEYS:
+                try:
+                    int(value)
+                except ValueError:
+                    raise InvalidArgument(f"{key} must be an integer: {value!r}")
+        applied = {}
+        for key, value in env.items():
             os.environ[key] = value
-            setattr(config, key, value)
+            # typed knobs are stored coerced, like Config.__init__ does
+            setattr(config, key, int(value) if key in _INT_KEYS else value)
             applied[key] = value
-        # re-coerce the typed knobs like Config.__init__ does
-        config.LYNSE_KMEANS_EPOCHS = int(config.LYNSE_KMEANS_EPOCHS)
-        config.LYNSE_SEARCH_CACHE_SIZE = int(config.LYNSE_SEARCH_CACHE_SIZE)
-        config.LYNSE_SEARCH_CACHE_EXPIRE_SECONDS = int(
-            config.LYNSE_SEARCH_CACHE_EXPIRE_SECONDS)
         return _success({"env": applied})
 
     async def get_environment(self, request):
@@ -752,12 +770,16 @@ class LynseServer:
         )
         out = []
         return_fields = body.get("return_fields", False)
+        # named-field results carry the SUB-collection's internal ids — map
+        # them through the sub-collection's id/field stores, not the parent's
+        target = coll if body.get("vector_field", "default") == "default" \
+            else coll.vector_field(body["vector_field"])
         for b in range(len(vectors)):
             sub = type(res)(
                 ids=res.ids[b], distances=res.distances[b],
                 distance_metric=res.distance_metric, index_type=res.index_type,
             )
-            out.append(self._search_items(coll, sub, return_fields))
+            out.append(self._search_items(target, sub, return_fields))
         return _success({"results": out})
 
     async def search_profile(self, request):

@@ -294,3 +294,21 @@ def test_database_snapshot_restore_preserves_multiple_collections(client, db, tm
     assert {"multi_a", "multi_b"} <= names
     assert list(db2.get_collection("multi_a").query(return_ids_only=True)) == [1]
     assert list(db2.get_collection("multi_b").query(return_ids_only=True)) == ["x"]
+
+
+def test_local_restore_bad_path_preserves_database(tmp_path, rng):
+    """LocalClient.restore_database(overwrite=True) must validate the
+    snapshot path BEFORE dropping the existing database."""
+    import numpy as np
+
+    import lynsedb_tpu as lynse
+
+    client = lynse.VectorDBClient(str(tmp_path))
+    db = client.create_database("resdb", drop_if_exists=True)
+    coll = db.require_collection("c", dim=4, drop_if_exists=True)
+    coll.add([1, 2], vectors=rng.normal(size=(2, 4)).astype(np.float32))
+    coll.commit()
+    with pytest.raises(Exception, match="snapshot"):
+        db.restore_database(str(tmp_path / "no_such_snap"), overwrite=True)
+    assert db.database_exists()
+    assert client.get_database("resdb").get_collection("c").shape[0] == 2

@@ -295,3 +295,67 @@ def test_prewarm_route(rdb, rng):
     assert secs >= 0.0
     res = coll.search(np.zeros(8, np.float32), k=3)
     assert len(res.ids) == 3
+
+
+def test_remote_named_field_batch_search_maps_sub_ids(rdb, rng):
+    """batch_search over a named vector field must map result ids/fields
+    through the SUB-collection (parent has 3 rows, sub has 5 — a parent-map
+    translation would return wrong ids or fail)."""
+    coll = rdb.require_collection("cnf", dim=8, drop_if_exists=True)
+    coll.add([1, 2, 3], vectors=rng.normal(size=(3, 8)).astype(np.float32))
+    coll.commit()
+    coll.create_vector_field("img", dim=4, metric="ip")
+    img = rng.normal(size=(5, 4)).astype(np.float32)
+    sub_ids = [10, 20, 30, 40, 50]
+    coll.add_named_vectors("img", sub_ids, img)
+    coll.commit()
+    batch = coll.batch_search(img[:2], k=3, vector_field="img")
+    for row in batch:
+        assert set(row.ids.tolist()) <= set(sub_ids), row.ids
+    single = coll.search(img[0], k=3, vector_field="img")
+    assert batch[0].ids.tolist() == single.ids.tolist()
+
+
+def test_remote_restore_bad_path_preserves_database(rclient, rng):
+    """restore_database(overwrite=True) with a bad snapshot path must fail
+    WITHOUT dropping the existing database (validate-then-drop, server-side)."""
+    db = rclient.create_database("resdb", drop_if_exists=True)
+    coll = db.require_collection("c", dim=4, drop_if_exists=True)
+    coll.add([1, 2], vectors=rng.normal(size=(2, 4)).astype(np.float32))
+    coll.commit()
+    with pytest.raises(Exception, match="snapshot"):
+        db.restore_database("/nonexistent/snapshot/path", overwrite=True)
+    assert db.database_exists()
+    assert rclient.get_database("resdb").get_collection("c").shape[0] == 2
+
+
+def test_remote_set_environment_atomic_on_bad_value(rdb):
+    """A payload with one invalid typed value must be rejected WITHOUT
+    applying any key (partial application corrupts typed config knobs)."""
+    rdb.set_environment({"LYNSE_KMEANS_EPOCHS": "7"})
+    before = rdb.get_environment()
+    with pytest.raises(Exception, match="integer"):
+        rdb.set_environment({
+            "LYNSE_LOG_LEVEL": "CRITICAL",
+            "LYNSE_KMEANS_EPOCHS": "not-an-int",
+        })
+    after = rdb.get_environment()
+    assert after["LYNSE_KMEANS_EPOCHS"] == "7"
+    assert after["LYNSE_LOG_LEVEL"] == before["LYNSE_LOG_LEVEL"]
+    # valid payloads still apply
+    rdb.set_environment({"LYNSE_KMEANS_EPOCHS": "8"})
+    assert rdb.get_environment()["LYNSE_KMEANS_EPOCHS"] == "8"
+
+
+def test_remote_batch_search_returns_fields(rdb, rng):
+    """return_fields=True must produce field dicts over the remote transport
+    (the binary route carries no fields — the client must route to JSON)."""
+    coll = rdb.require_collection("cbf", dim=4, drop_if_exists=True)
+    coll.add([1, 2, 3], vectors=rng.normal(size=(3, 4)).astype(np.float32),
+             fields=[{"tag": f"t{i}"} for i in (1, 2, 3)])
+    coll.commit()
+    rows = coll.batch_search(rng.normal(size=(2, 4)).astype(np.float32),
+                             k=2, return_fields=True)
+    for row in rows:
+        assert len(row.fields) == 2
+        assert all("tag" in f for f in row.fields)

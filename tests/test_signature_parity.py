@@ -69,3 +69,29 @@ def test_collection_surfaces_overlap_substantially():
     local = _sigs(LocalCollection, set())
     http = _sigs(HTTPCollection, set())
     assert len(set(local) & set(http)) >= 40
+
+
+# one-sided methods, each mirroring the reference's own asymmetry:
+# the reference exposes these on the HTTP surface only
+# (client_api.py:2545 read_by_only_id, :2713 get_collection_path) or has
+# no public counterpart on the other transport
+_COLLECTION_HTTP_ONLY = {"read_by_only_id", "get_collection_path"}
+# search_stream/hybrid_search_stream are the embedded pipelined-dispatch
+# generators; over HTTP the server-side micro-batcher plays that role
+_COLLECTION_LOCAL_ONLY = {"warm_up", "search_stream", "hybrid_search_stream"}
+_CLIENT_HTTP_ONLY = {"set_environment", "get_environment", "close"}
+_CLIENT_LOCAL_ONLY = set()
+
+
+def test_one_sided_surface_is_exactly_the_documented_set():
+    """Intersection-based parity can't see one-sided additions — pin the
+    symmetric difference to the documented reference asymmetries so a new
+    method added to only one transport fails loudly."""
+    lc = set(_sigs(LocalCollection, set()))
+    hc = set(_sigs(HTTPCollection, set()))
+    assert lc - hc == _COLLECTION_LOCAL_ONLY, lc - hc
+    assert hc - lc == _COLLECTION_HTTP_ONLY, hc - lc
+    lcl = set(_sigs(LocalClient, set()))
+    htl = set(_sigs(HTTPClient, set()))
+    assert lcl - htl == _CLIENT_LOCAL_ONLY, lcl - htl
+    assert htl - lcl == _CLIENT_HTTP_ONLY, htl - lcl

@@ -1371,6 +1371,11 @@ class Collection:
         shape as search_stream, applied to the hybrid plane."""
         if vectors is None and texts is None:
             raise InvalidArgument("hybrid_search_stream requires vectors, texts, or both")
+        if vectors is not None:
+            # normalize BEFORE counting: a single 1-D query must count as
+            # one query, not dim queries (same contract as search_stream)
+            vectors = np.ascontiguousarray(
+                np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
         n_q = len(vectors) if vectors is not None else len(texts)
         if texts is not None and len(texts) != n_q:
             raise InvalidArgument("vectors and texts must have matching lengths")
@@ -1379,7 +1384,7 @@ class Collection:
         v_resolvers: list = [None] * n_q
         vres_now: list = [None] * n_q
         if vectors is not None:
-            q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
+            q = vectors  # already normalized above
             flat = self._index is None and self._aux_index is None and self.n_rows > 0
             if flat:
                 with self._lock:

@@ -159,6 +159,9 @@ class DiskANNIndex:
         if self.layered:
             arrays["pq_codes"] = self.pq_codes
             arrays["pq_codebooks"] = self.pq.codebooks
+        unl = np.asarray(getattr(self, "_unlinked_ids", ()), dtype=np.int64)
+        if len(unl):
+            arrays["unlinked"] = unl
         np.savez(idx_dir / "graph.npz", **arrays)
         write_atomic(
             idx_dir / "graph_meta.json",
@@ -187,6 +190,8 @@ class DiskANNIndex:
         if "pq_codes" in data.files:
             idx.pq = PQ(data["pq_codebooks"])
             idx.pq_codes = data["pq_codes"]
+        if "unlinked" in data.files:
+            idx._unlinked_ids = data["unlinked"]
         return idx
 
     # ── search ───────────────────────────────────────────────────────────
@@ -222,6 +227,18 @@ class DiskANNIndex:
                 n, self.ENTRY_SAMPLE,
                 sq_norms=corpus.host_sq_norms() if ip else None,
                 norm_top=self.ENTRY_NORM_TOP if ip else 0)
+            # rows that joined while the corpus streamed have no graph edges
+            # — pin them so the entry scan scores them exactly; padded to a
+            # 4096 bucket (edge-repeat dups are harmless) to bound the
+            # entry_scan shape churn
+            unl = np.asarray(getattr(self, "_unlinked_ids", ()),
+                             dtype=np.int64)
+            unl = unl[unl < n]
+            if len(unl):
+                cap = 4096 * ((len(unl) + 4095) // 4096)
+                u = np.pad(unl, (0, cap - len(unl)), mode="edge")
+                ids = np.concatenate([ids.astype(np.int32),
+                                      u.astype(np.int32)])
             rows = corpus.host_rows(ids.astype(np.int64)).astype(np.float32)
             self._entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
         return self._entry_dev
@@ -263,8 +280,8 @@ class DiskANNIndex:
         guided = _PQ_METRIC_KIND.get(metric)
         # _force_pq: test hook to exercise the streaming PQ tier without a
         # >HBM corpus (the dispatch below is otherwise driven by residency)
-        use_bf16 = guided and not corpus.streaming and not getattr(self, "_force_pq", False)
-        if guided and corpus.streaming and not self.layered:
+        use_bf16 = guided and not corpus.would_stream() and not getattr(self, "_force_pq", False)
+        if guided and corpus.would_stream() and not self.layered:
             # legacy index built resident on a corpus that now streams: fit
             # the PQ tier once from the host mirror; persist it unless the
             # collection is read-only (then it lives for this process only)
@@ -358,13 +375,20 @@ class DiskANNIndex:
         inserted = getattr(self, "_inserted_since_build", 0) + max(n - self.built_rows, 0)
         tomb_count = coll.tombstones.count()
         base = getattr(self, "_rows_at_build", self.built_rows)
+        corpus = coll.corpus()
+        if corpus.would_stream():
+            # >HBM corpora: the in-place kernels (and a rebuild) need the
+            # resident f32 rows, which don't exist — run the host-side
+            # streaming maintenance instead
+            self._inserted_since_build = inserted
+            self._on_commit_streaming(coll, corpus, n)
+            return
         # replacement churn: the fraction of the built corpus swapped out
         if max(inserted, tomb_count) > REBUILD_CHURN_FRACTION * max(base, 1):
             self.rebuild(coll)
             return
         self._inserted_since_build = inserted
 
-        corpus = coll.corpus()
         tombs = coll.tombstones.to_bool_array(n)
         rows_dev = corpus._data[:n].astype(jnp.float32)
         live = np.ones(n, dtype=bool)
@@ -407,6 +431,21 @@ class DiskANNIndex:
             self.built_rows = n
             changed = True
 
+        # rows that arrived while the corpus streamed (edge-less, pinned in
+        # the entry sample) get their real adjacency now that f32 rows are
+        # resident again
+        unl = np.asarray(getattr(self, "_unlinked_ids", ()), dtype=np.int64)
+        if len(unl):
+            unl_live = unl[live[unl]]
+            if len(unl_live):
+                self.graph_np = insert_points(
+                    self.graph_np, unl_live, rows_dev, starts, live,
+                    metric=self.metric, r=self.r, l_build=self.l,
+                    alpha=self.alpha,
+                )
+            self._unlinked_ids = np.empty(0, dtype=np.int64)
+            changed = True
+
         relinked = reconnect_orphans(
             self.graph_np, live[: self.built_rows], rows_dev, starts,
             metric=self.metric, r=self.r, l_build=self.l, alpha=self.alpha,
@@ -416,6 +455,54 @@ class DiskANNIndex:
         if changed:
             self._graph_dev = None
             self._entry_dev = None  # sample must track the grown/culled corpus
+            self.save(coll)
+
+    def _on_commit_streaming(self, coll, corpus, n: int) -> None:
+        """Maintenance for corpora past the HBM budget: in-place linking and
+        edge repair need the resident f32 rows (and a rebuild would stage
+        the whole f32 corpus), so new rows instead get PQ codes plus an
+        edge-less adjacency row and are PINNED into the per-query entry
+        sample — the entry scan scores them directly and the exact rescore
+        ranks them, keeping them searchable at exact recall until the
+        corpus is resident again (then they are linked in place) or a
+        rebuild refits everything. Tombstone prune-repair is deferred the
+        same way: the beam already masks dead nodes via the live mask."""
+        changed = False
+        if n > self.built_rows:
+            new_ids = np.arange(self.built_rows, n, dtype=np.int64)
+            self.graph_np = np.concatenate([
+                self.graph_np,
+                np.full((len(new_ids), self.r), -1, dtype=self.graph_np.dtype),
+            ])
+            if self.layered:
+                tail = corpus.host_rows(new_ids)
+                self.pq_codes = np.concatenate([
+                    self.pq_codes,
+                    self.pq.encode(np.asarray(tail, dtype=np.float32)),
+                ])
+                self._pq_dev = None
+            unl = np.asarray(getattr(self, "_unlinked_ids", ()),
+                             dtype=np.int64)
+            self._unlinked_ids = np.concatenate([unl, new_ids])
+            self.built_rows = n
+            changed = True
+        # entry points must stay live even while streaming (host-side fix)
+        tombs = coll.tombstones.to_bool_array(n)
+        live = np.ones(n, dtype=bool)
+        live[: len(tombs)] &= ~tombs
+        if not live[self._starts_np].all():
+            live_rows = np.nonzero(live)[0]
+            if len(live_rows) == 0:
+                return
+            host = corpus.host_rows(np.arange(n))
+            centroid = host[live_rows].mean(axis=0)
+            self.medoid = int(live_rows[np.argmin(
+                ((host[live_rows] - centroid) ** 2).sum(1))])
+            self._starts_np = self._compute_starts_live(host, live_rows)
+            changed = True
+        if changed:
+            self._graph_dev = None
+            self._entry_dev = None
             self.save(coll)
 
     def rebuild(self, coll) -> None:

@@ -193,7 +193,7 @@ class HNSWIndex:
     def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
         metric = self.metric
         corpus = coll.corpus()
-        if corpus.streaming:
+        if corpus.would_stream():
             # >HBM corpora have no resident array for the beam to score from;
             # HNSW (RAM-tier index in the reference too, hnsw.rs) falls back
             # to the exact blockwise streaming scan. DiskANN's PQ-guided
@@ -230,7 +230,7 @@ class HNSWIndex:
                     (starts.shape[0], len(self.ip_starts))))
             starts = jnp.concatenate(parts, axis=1)
         guided = _PQ_METRIC_KIND.get(metric)
-        if guided and not corpus.streaming:
+        if guided and not corpus.would_stream():
             # bf16-guided beam over the resident scan array + exact
             # host-mirror rescore of the full ef pool (same layered-search
             # design as DiskANN; the beam keys are proxies, the returned
@@ -290,10 +290,17 @@ class HNSWIndex:
             return
         base = getattr(self, "_rows_at_build", self.built_rows)
         grown = getattr(self, "_inserted_since_build", 0) + (n - self.built_rows)
+        corpus = coll.corpus()
+        if corpus.would_stream():
+            # >HBM: HNSW search falls back to the exact streaming scan (the
+            # graph is unused while streaming), and both in-place linking
+            # and a rebuild would need the resident f32 corpus. Defer:
+            # built_rows stays put, so the first commit after the corpus is
+            # resident again links the whole accumulated tail below.
+            return
         if grown > REBUILD_GROWTH_FRACTION * max(base, 1):
             self.rebuild(coll)
             return
-        corpus = coll.corpus()
         rows_dev = corpus._data[:n].astype(jnp.float32)
         tombs = coll.tombstones.to_bool_array(n)
         live = np.ones(n, dtype=bool)

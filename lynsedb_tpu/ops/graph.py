@@ -650,9 +650,9 @@ def _prune_chunk_kernel(corpus, node_ids, cand_ids, alpha, *, metric, r, descend
         alpha, r=r, descending=descending)
 
 
-def _reverse_candidates(forward: np.ndarray, n: int, width: int,
-                        rng: np.random.Generator) -> np.ndarray:
-    """(N, width) reverse-edge requesters per node (first come, capped)."""
+def _reverse_candidates(forward: np.ndarray, n: int, width: int) -> np.ndarray:
+    """(N, width) reverse-edge requesters per node. Capping is deterministic
+    first-come by forward-edge order (no random subsampling)."""
     r = forward.shape[1]
     flat_pts = np.repeat(np.arange(forward.shape[0], dtype=np.int64), r)
     flat_nbrs = forward.ravel().astype(np.int64)
@@ -752,7 +752,7 @@ def build_vamana(
         forward[lo:hi] = np.asarray(pruned)[:m]
 
     # pass B: merge reverse edges and re-prune every node once
-    rev = _reverse_candidates(forward, n, width=r, rng=rng)
+    rev = _reverse_candidates(forward, n, width=r)
     graph = np.empty((n, r), dtype=np.int32)
     width = 2 * r
     for lo in range(0, n, chunk):

@@ -670,6 +670,15 @@ class DeviceCorpus:
         step = max(octave // 8, align)
         return _round_up(need, step)
 
+    def would_stream(self) -> bool:
+        """True if (re)staging at the current row count would enter
+        streaming (>HBM) mode — WITHOUT staging anything. `streaming` is
+        only assigned during staging, so write-path guards that run before
+        the first post-commit search must ask this instead."""
+        if not self._dirty:
+            return self.streaming
+        return self.mesh is None and self._cap_for(self.n) * self.dim * 2 > HBM_BYTES
+
     def _ensure_staged(self) -> None:
         """Stage (or refresh) the device scan array from the host mirror.
 

@@ -73,6 +73,10 @@ class ResultView:
         elif result_type == "data":
             comps = [self._vectors, self._ids, self._fields]
         elif self._fields:
+            # NOTE: deliberately truthiness-based, matching the reference
+            # (result_view.py:142): a zero-match query unpacks as (ids,),
+            # a matching one as (ids, fields) — data-dependent arity is the
+            # reference's documented contract for query views
             comps = [self._ids, self._fields]
         else:
             comps = [self._ids]

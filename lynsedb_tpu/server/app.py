@@ -100,14 +100,20 @@ class _MicroBatcher:
                 stats = self.server.microbatch_stats
                 stats["batches"] += 1
                 stats["queries"] += len(batch)
-                vecs = np.stack([v for v, _ in batch])
                 try:
+                    # inside the try: a stack/shape failure must fan out to
+                    # the waiting futures, never kill the drain task (hung
+                    # requests with no response)
+                    vecs = np.stack([v for v, _ in batch])
                     res = await self.server._run(
                         self.coll.batch_search, vecs, **self.params)
                 except Exception as e:  # noqa: BLE001 — fan the error out
                     for _, fut in batch:
                         if not fut.done():
-                            fut.set_exception(type(e)(*e.args) if e.args else e)
+                            # the original instance keeps the traceback and
+                            # survives exception classes whose constructors
+                            # don't take *args
+                            fut.set_exception(e)
                     continue
                 for i, (_, fut) in enumerate(batch):
                     if not fut.done():
@@ -719,6 +725,13 @@ class LynseServer:
         """Single-query search routed through the per-(collection, params)
         micro-batcher; falls back to a direct engine call when micro-batching
         is disabled (LYNSE_TPU_SERVER_MICROBATCH_MS < 0)."""
+        # exactly one query: a 0-d scalar or a multi-row array must 400 here
+        # — a mis-shaped vector reaching the batcher would make np.stack
+        # fail for every request coalesced into the same window
+        if vec.ndim == 0 or vec.size == 0 or vec.size != vec.shape[-1]:
+            raise InvalidArgument(
+                "/search takes exactly one query vector; use /batch_search "
+                "for multiple")
         k = self._check_k(body.get("k", 10))
         params = dict(
             k=k,

@@ -553,3 +553,66 @@ def test_entry_sample_ids_fixed_shape_and_band_coverage(rng):
     assert np.array_equal(entry_sample_ids(1000, sample), np.arange(1000))
     sq = rng.normal(size=17_000).astype(np.float32) ** 2
     assert len(entry_sample_ids(17_000, sample, sq_norms=sq, norm_top=top)) == 17_000
+
+
+def test_graph_on_commit_on_streaming_corpus(db, graph_data, monkeypatch):
+    """Writes must keep working when the corpus exceeds the HBM budget:
+    DiskANN gives new rows PQ codes + entry-sample pinning (searchable at
+    exact recall, linked for real once the corpus is resident again); HNSW
+    defers linking entirely (its streaming search is the exact scan).
+    Regression: both previously crashed commit with 'corpus bf16 footprint
+    exceeds the device HBM budget'."""
+    import lynsedb_tpu.ops.scan as scan_mod
+
+    data, queries = graph_data
+    coll = db.require_collection("g_stream_commit", dim=32,
+                                 drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    idx = coll._engine._index
+
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 64 * 1024)
+    coll._engine._corpus = None  # force re-staging under the tiny budget
+    rng2 = np.random.default_rng(9)
+    tail = (rng2.normal(size=(20, 32)) + 3.0).astype(np.float32)  # hot norms
+    base = len(data)
+    coll.add(list(range(base, base + 20)), vectors=tail)
+    coll.commit()  # previously raised ValueError here
+    assert coll._engine.corpus().would_stream()
+    assert idx.built_rows == base + 20
+    assert len(idx._unlinked_ids) == 20
+    # new rows are searchable while streaming (entry-sample pinning)
+    res = coll.search(tail[3], k=5, nprobe=80)
+    want = np.argsort(-(np.concatenate([data, tail]) @ tail[3]))[:5]
+    got = {int(i) for i in res.ids}
+    assert len(got & set(want.tolist())) >= 4, (sorted(got), want)
+
+    # corpus resident again -> the next commit links the deferred rows
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 16 * 1024**3)
+    coll._engine._corpus = None
+    coll.add([base + 20], vectors=tail[:1] + 0.01)
+    coll.commit()
+    assert len(idx._unlinked_ids) == 0
+    assert (idx.graph_np[base:base + 20] >= 0).any(axis=1).all(), \
+        "streaming-era rows still edge-less after resident commit"
+
+    # HNSW: streaming commit defers, resident commit catches up
+    coll2 = db.require_collection("h_stream_commit", dim=32,
+                                  drop_if_exists=True, default_index=None)
+    coll2.add(list(range(len(data))), vectors=data)
+    coll2.commit()
+    coll2.build_index("HNSW-L2")
+    hidx = coll2._engine._index
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 64 * 1024)
+    coll2._engine._corpus = None
+    coll2.add(list(range(base, base + 10)), vectors=tail[:10])
+    coll2.commit()  # previously raised
+    assert hidx.built_rows == base  # deferred
+    res = coll2.search(tail[2], k=3)  # exact streaming fallback sees the tail
+    assert int(res.ids[0]) == base + 2
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 16 * 1024**3)
+    coll2._engine._corpus = None
+    coll2.add([base + 10], vectors=tail[10:11])
+    coll2.commit()
+    assert hidx.built_rows == base + 11

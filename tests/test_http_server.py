@@ -359,3 +359,23 @@ def test_remote_batch_search_returns_fields(rdb, rng):
     for row in rows:
         assert len(row.fields) == 2
         assert all("tag" in f for f in row.fields)
+
+
+def test_remote_search_rejects_malformed_vectors(rdb, rng):
+    """A 0-d or multi-row 'vector' must 400 at the handler — a mis-shaped
+    vector reaching the micro-batcher would poison np.stack for every
+    request coalesced into the same window (hung futures)."""
+    coll = rdb.require_collection("cmal", dim=8, drop_if_exists=True)
+    vecs = rng.normal(size=(10, 8)).astype(np.float32)
+    coll.add(list(range(10)), vectors=vecs)
+    coll.commit()
+    import requests as rq
+    base = coll._client._session.base_url
+    body = {"database_name": "http_db", "collection_name": "cmal", "k": 3}
+    r = rq.post(base + "/search", json={**body, "vector": 5.0})
+    assert r.status_code == 400, r.text
+    r = rq.post(base + "/search", json={**body, "vector": vecs[:2].tolist()})
+    assert r.status_code == 400, r.text
+    # well-formed traffic still works after the rejects
+    res = coll.search(vecs[0], k=3)
+    assert len(res.ids) == 3

@@ -166,3 +166,21 @@ def test_hybrid_search_stream_matches_sequential(tmp_path, rng):
     v_only = coll.hybrid_search_stream(qs, None, k=5)
     assert len(v_only) == 8 and all(len(r.ids) == 5 for r in v_only)
     client.close()
+
+
+def test_hybrid_search_stream_single_1d_vector(tmp_path, rng):
+    """A single 1-D query must count as ONE query, not dim queries
+    (regression: n_q was computed before np.atleast_2d)."""
+    import lynsedb_tpu as lynse
+
+    client = lynse.VectorDBClient(str(tmp_path / "hyb1"))
+    db = client.create_database("d")
+    coll = db.require_collection("c", dim=12)
+    v = rng.normal(size=(100, 12)).astype(np.float32)
+    coll.add(list(range(100)), vectors=v,
+             fields=[{"t": f"alpha doc{i}"} for i in range(100)])
+    coll.commit()
+    out = coll.hybrid_search_stream(v[7], ["alpha"], k=5)
+    assert len(out) == 1
+    seq = coll.hybrid_search(v[7], "alpha", k=5)
+    assert out[0].ids.tolist() == seq.ids.tolist()

@@ -170,6 +170,7 @@ class LynseServer:
                 "LYNSE_TPU_SERVER_MICROBATCH_MS", "2.0"))
         self.microbatch_gather_ms = microbatch_gather_ms
         self.microbatch_stats = {"batches": 0, "queries": 0}
+        self.metrics.microbatch_stats = self.microbatch_stats
         self._batchers: dict[tuple, _MicroBatcher] = {}
         self.app = self._build_app()
 

@@ -22,6 +22,9 @@ class HttpMetrics:
         self.latency_count = 0
         self.index_builds_total = 0
         self.index_build_seconds = 0.0
+        # wired by the server: its live micro-batcher counters
+        # ({"batches": int, "queries": int}); rendered when present
+        self.microbatch_stats: dict[str, int] | None = None
 
     def observe(self, route: str, status: int, seconds: float) -> None:
         with self._lock:
@@ -69,6 +72,13 @@ class HttpMetrics:
             lines.append(f"lynse_http_request_duration_seconds_count {self.latency_count}")
             lines.append("# TYPE lynse_index_builds_total counter")
             lines.append(f"lynse_index_builds_total {self.index_builds_total}")
+            if self.microbatch_stats is not None:
+                lines.append("# TYPE lynse_search_microbatches_total counter")
+                lines.append(
+                    f"lynse_search_microbatches_total {self.microbatch_stats.get('batches', 0)}")
+                lines.append("# TYPE lynse_search_microbatched_queries_total counter")
+                lines.append(
+                    f"lynse_search_microbatched_queries_total {self.microbatch_stats.get('queries', 0)}")
 
         if manager is not None:
             try:

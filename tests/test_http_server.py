@@ -129,6 +129,8 @@ def test_ops_endpoints(server):
     metrics = requests.get(server.url + "/metrics").text
     assert "lynse_http_requests_total" in metrics
     assert "lynse_uptime_seconds" in metrics
+    assert "lynse_search_microbatches_total" in metrics
+    assert "lynse_search_microbatched_queries_total" in metrics
     spec = requests.get(server.url + "/openapi.json").json()
     assert "/search" in spec["paths"]
     # x-request-id propagation

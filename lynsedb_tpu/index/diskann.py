@@ -492,14 +492,29 @@ class DiskANNIndex:
         live[: len(tombs)] &= ~tombs
         if not live[self._starts_np].all():
             live_rows = np.nonzero(live)[0]
-            if len(live_rows) == 0:
-                return
-            host = corpus.host_rows(np.arange(n))
-            centroid = host[live_rows].mean(axis=0)
-            self.medoid = int(live_rows[np.argmin(
-                ((host[live_rows] - centroid) ** 2).sum(1))])
-            self._starts_np = self._compute_starts_live(host, live_rows)
-            changed = True
+            if len(live_rows):
+                # bounded sample: the full corpus is past the HBM budget, so
+                # materializing every f32 row on the host just to pick entry
+                # points is the exact blow-up this path exists to avoid; a
+                # medoid/top-norm pick over 256k live rows is as good an
+                # entry seed in practice
+                if len(live_rows) > 262_144:
+                    sel = np.random.default_rng(0).choice(
+                        live_rows, size=262_144, replace=False)
+                    sel.sort()
+                else:
+                    sel = live_rows
+                rows = np.asarray(corpus.host_rows(sel), dtype=np.float32)
+                centroid = rows.mean(axis=0)
+                self.medoid = int(sel[np.argmin(
+                    ((rows - centroid) ** 2).sum(1))])
+                starts = [self.medoid]
+                if self.metric is Metric.IP:
+                    norms = np.linalg.norm(rows, axis=1)
+                    starts.extend(sel[np.argsort(-norms)[:4]].tolist())
+                self._starts_np = np.unique(
+                    np.asarray(starts, dtype=np.int32))
+                changed = True
         if changed:
             self._graph_dev = None
             self._entry_dev = None

@@ -34,6 +34,7 @@ from ..ops.graph import (
     entry_sample_ids,
     entry_scan,
     insert_points,
+    prune_gathered,
     reconnect_orphans,
     repair_deleted_edges,
 )
@@ -77,6 +78,10 @@ class DiskANNIndex:
         self._starts_np = starts if starts is not None else np.asarray([medoid], dtype=np.int32)
         self._graph_dev = None
         self._entry_dev = None  # (sample_ids, sample_rows) for entry_scan
+        # rows committed while the corpus streamed that could not be linked
+        # (non-layered legacy); set here so rebuild()'s __dict__.update
+        # always resets it — stale ids must not survive a rebuild/compact
+        self._unlinked_ids = np.empty(0, dtype=np.int64)
         # layered-mode artifacts (None when not layered)
         self.pq: Optional[PQ] = None
         self.pq_codes: Optional[np.ndarray] = None  # (built_rows, M) uint8
@@ -132,12 +137,17 @@ class DiskANNIndex:
             books_sq.T, codes.astype(np.int64), axis=0
         ).sum(axis=1).astype(np.float32)
 
-    def _compute_starts_live(self, data: np.ndarray, live_rows: np.ndarray) -> np.ndarray:
-        """Entry points restricted to live rows (post-delete refresh)."""
+    def _starts_from_sample(self, rows: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Entry-point refresh from (rows, ids) of live rows (post-delete):
+        sets the medoid and returns the starts array (medoid + top-norm
+        rows for IP). Shared by the resident and streaming commit paths so
+        the seeding policy lives in exactly one place."""
+        centroid = rows.mean(axis=0)
+        self.medoid = int(ids[np.argmin(((rows - centroid) ** 2).sum(1))])
         starts = [self.medoid]
         if self.metric is Metric.IP:
-            norms = np.linalg.norm(data[live_rows], axis=1)
-            starts.extend(live_rows[np.argsort(-norms)[:4]].tolist())
+            norms = np.linalg.norm(rows, axis=1)
+            starts.extend(int(x) for x in ids[np.argsort(-norms)[:4]])
         return np.unique(np.asarray(starts, dtype=np.int32))
 
     def _compute_starts(self, data: np.ndarray) -> np.ndarray:
@@ -337,6 +347,24 @@ class DiskANNIndex:
             ids = np.asarray(ids, dtype=np.int64)
             dists = -keys if metric.ascending else keys
 
+        # exact merge of any rows that remain UNLINKED (read-only legacy
+        # loads where streaming linking could not run): entry-sample pinning
+        # alone only guarantees the entry scan's top-ENTRY_TOP of them reach
+        # the pool, which silently under-returns for k > ENTRY_TOP — scoring
+        # the whole (small) set exactly makes them correct for any k
+        unl = np.asarray(getattr(self, "_unlinked_ids", ()), dtype=np.int64)
+        unl = unl[unl < self.built_rows]
+        if len(unl):
+            live_np = np.asarray(live)
+            ud = corpus.rescore(np.atleast_2d(q.astype(np.float32)), unl, metric)
+            uids = np.broadcast_to(unl, (dists.shape[0], len(unl))).copy()
+            bad = ~live_np[unl]
+            ud = np.where(bad[None, :] | ~np.isfinite(ud),
+                          np.inf if metric.ascending else -np.inf, ud)
+            uids[:, bad] = -1
+            dists = np.concatenate([dists, ud.astype(np.float32)], axis=1)
+            ids = np.concatenate([ids, uids], axis=1)
+
         # exact tail for rows added after build
         if self.built_rows < coll.n_rows:
             tail_mask = np.zeros(coll.n_rows, dtype=bool)
@@ -397,13 +425,11 @@ class DiskANNIndex:
 
         # entry points must stay live (a dead medoid strands the beam)
         if not live[self._starts_np].all():
-            host = corpus.host_rows(np.arange(n))
             live_rows = np.nonzero(live)[0]
             if len(live_rows) == 0:
                 return
-            centroid = host[live_rows].mean(axis=0)
-            self.medoid = int(live_rows[np.argmin(((host[live_rows] - centroid) ** 2).sum(1))])
-            self._starts_np = self._compute_starts_live(host, live_rows)
+            rows = np.asarray(corpus.host_rows(live_rows), dtype=np.float32)
+            self._starts_np = self._starts_from_sample(rows, live_rows)
             changed = True
         starts = jnp.asarray(self._starts_np.astype(np.int32))
 
@@ -435,6 +461,7 @@ class DiskANNIndex:
         # the entry sample) get their real adjacency now that f32 rows are
         # resident again
         unl = np.asarray(getattr(self, "_unlinked_ids", ()), dtype=np.int64)
+        unl = unl[unl < n]  # compaction can shrink the corpus under stale ids
         if len(unl):
             unl_live = unl[live[unl]]
             if len(unl_live):
@@ -458,34 +485,58 @@ class DiskANNIndex:
             self.save(coll)
 
     def _on_commit_streaming(self, coll, corpus, n: int) -> None:
-        """Maintenance for corpora past the HBM budget: in-place linking and
-        edge repair need the resident f32 rows (and a rebuild would stage
-        the whole f32 corpus), so new rows instead get PQ codes plus an
-        edge-less adjacency row and are PINNED into the per-query entry
-        sample — the entry scan scores them directly and the exact rescore
-        ranks them, keeping them searchable at exact recall until the
-        corpus is resident again (then they are linked in place) or a
-        rebuild refits everything. Tombstone prune-repair is deferred the
-        same way: the beam already masks dead nodes via the live mask."""
+        """Maintenance for corpora past the HBM budget. The resident-path
+        kernels (insert_points / repair / rebuild) all stage the full f32
+        corpus, which by definition does not fit — so new rows are linked
+        IN PLACE the way the reference's IP-DiskANN inserts into its
+        on-disk graph (diskann.rs:1496): the PQ-guided device beam finds
+        each new row's candidate pool, only those candidate f32 rows are
+        gathered from the host mirror, and the exact alpha-prune +
+        reverse-edge merge run over the gathers. Tombstone prune-repair is
+        deferred (the beam masks dead nodes via the live mask); rows that
+        somehow remain unlinked (read-only legacy loads) stay pinned in
+        the entry sample and exact-merged at search time."""
         changed = False
+        tombs = coll.tombstones.to_bool_array(n)
+        live = np.ones(n, dtype=bool)
+        live[: len(tombs)] &= ~tombs
+        to_link = np.asarray(getattr(self, "_unlinked_ids", ()),
+                             dtype=np.int64)
+        to_link = to_link[to_link < n]
         if n > self.built_rows:
             new_ids = np.arange(self.built_rows, n, dtype=np.int64)
             self.graph_np = np.concatenate([
                 self.graph_np,
                 np.full((len(new_ids), self.r), -1, dtype=self.graph_np.dtype),
             ])
-            if self.layered:
-                tail = corpus.host_rows(new_ids)
-                self.pq_codes = np.concatenate([
-                    self.pq_codes,
-                    self.pq.encode(np.asarray(tail, dtype=np.float32)),
-                ])
-                self._pq_dev = None
-            unl = np.asarray(getattr(self, "_unlinked_ids", ()),
-                             dtype=np.int64)
-            self._unlinked_ids = np.concatenate([unl, new_ids])
+            if not self.layered:
+                # legacy resident-built index whose corpus now streams: the
+                # beam needs the PQ tier to walk — fit it once (search does
+                # the same lazily, but linking needs it NOW)
+                self._fit_pq(np.asarray(
+                    corpus.host_rows(np.arange(self.built_rows)),
+                    dtype=np.float32))
+            tail = corpus.host_rows(new_ids)
+            self.pq_codes = np.concatenate([
+                self.pq_codes,
+                self.pq.encode(np.asarray(tail, dtype=np.float32)),
+            ])
+            self._pq_dev = None
             self.built_rows = n
+            to_link = np.concatenate([to_link, new_ids])
             changed = True
+        if len(to_link) and self.layered:
+            # currently-tombstoned rows are linked too: edges into dead
+            # nodes are masked by the live mask at search time, and a later
+            # restore_items must find the row reachable (the streaming path
+            # has no reconnect_orphans pass)
+            self._link_streaming(coll, corpus, to_link, live)
+            self._unlinked_ids = np.empty(0, dtype=np.int64)
+            changed = True
+        else:
+            # linking unavailable: keep the rows pinned in the entry sample
+            # (search exact-merges them for any k)
+            self._unlinked_ids = to_link
         # entry points must stay live even while streaming (host-side fix)
         tombs = coll.tombstones.to_bool_array(n)
         live = np.ones(n, dtype=bool)
@@ -505,20 +556,115 @@ class DiskANNIndex:
                 else:
                     sel = live_rows
                 rows = np.asarray(corpus.host_rows(sel), dtype=np.float32)
-                centroid = rows.mean(axis=0)
-                self.medoid = int(sel[np.argmin(
-                    ((rows - centroid) ** 2).sum(1))])
-                starts = [self.medoid]
-                if self.metric is Metric.IP:
-                    norms = np.linalg.norm(rows, axis=1)
-                    starts.extend(sel[np.argsort(-norms)[:4]].tolist())
-                self._starts_np = np.unique(
-                    np.asarray(starts, dtype=np.int32))
+                self._starts_np = self._starts_from_sample(rows, sel)
                 changed = True
         if changed:
             self._graph_dev = None
             self._entry_dev = None
             self.save(coll)
+
+    def _link_streaming(self, coll, corpus, new_ids: np.ndarray,
+                        live: np.ndarray) -> None:
+        """In-place graph insert while the full f32 corpus exceeds the HBM
+        budget (reference: IP-DiskANN inserts against the on-disk graph,
+        diskann.rs:1496). Candidate discovery walks the device PQ tier;
+        exactification gathers ONLY the candidate f32 rows from the host
+        mirror — nothing corpus-sized is staged. For IP the prune runs in
+        construction space (angular: L2 over normalized rows, see
+        ops/graph._construction_space), so candidate discovery walks the
+        PQ codes under "cos"."""
+        ip = self.metric is Metric.IP
+        metric_c = Metric.L2 if ip else self.metric
+        desc = not metric_c.ascending
+        walk_kind = "cos" if ip else _PQ_METRIC_KIND[self.metric]
+        r, lw = self.r, max(self.l, 2 * self.r)
+        self._graph_dev = None  # the adjacency just grew
+        self._entry_dev = None
+        graph_dev = self._graph()
+        codes_d, books_d, row_sq_d = self._pq_device()
+        live_dev = jnp.asarray(live[: self.built_rows])
+
+        def crows(ids: np.ndarray) -> np.ndarray:
+            rows = np.asarray(
+                corpus.host_rows(np.maximum(ids, 0).astype(np.int64).ravel()),
+                dtype=np.float32).reshape(*ids.shape, -1)
+            if ip:
+                rows /= np.maximum(
+                    np.linalg.norm(rows, axis=-1, keepdims=True), 1e-30)
+            return rows
+
+        def bucket(m: int) -> int:
+            return next(s for s in (64, 256, 1024) if m <= s)
+
+        rev_src: list[np.ndarray] = []
+        rev_dst: list[np.ndarray] = []
+        for lo in range(0, len(new_ids), 1024):
+            chunk = new_ids[lo : lo + 1024]
+            m = len(chunk)
+            mp = bucket(m)  # pad to one of 3 shapes: compiles are expensive
+            cpad = np.concatenate([chunk, np.full(mp - m, chunk[0], np.int64)])
+            node_rows = crows(cpad)
+            qj = jnp.asarray(np.asarray(
+                corpus.host_rows(cpad), dtype=np.float32))
+            starts = self._query_starts(coll, qj, live_dev)
+            _, pool, _ = beam_search_pq(
+                qj, codes_d, books_d, row_sq_d, graph_dev, starts, live_dev,
+                metric_kind=walk_kind, beam=lw, max_steps=2 * lw)
+            cand = np.asarray(pool, dtype=np.int64)  # (mp, lw)
+            pruned = np.asarray(prune_gathered(
+                jnp.asarray(node_rows), jnp.asarray(crows(cand)),
+                jnp.asarray(cpad.astype(np.int64)), jnp.asarray(cand),
+                self.alpha, metric=metric_c, r=r, descending=desc))[:m]
+            self.graph_np[chunk] = pruned.astype(self.graph_np.dtype)
+            fwd = pruned.ravel()
+            keep = fwd >= 0
+            rev_src.append(np.repeat(chunk, r)[keep])
+            rev_dst.append(fwd[keep])
+
+        # reverse-edge merge: each forward target re-prunes its list against
+        # the requesters (capped first-come at r per target, matching the
+        # build's deterministic reverse pass)
+        if rev_src:
+            src = np.concatenate(rev_src)
+            dst = np.concatenate(rev_dst)
+            order = np.argsort(dst, kind="stable")
+            src, dst = src[order], dst[order]
+            uniq, starts_i, counts = np.unique(
+                dst, return_index=True, return_counts=True)
+            width = 2 * r
+            for lo in range(0, len(uniq), 1024):
+                vs = uniq[lo : lo + 1024]
+                m = len(vs)
+                mp = bucket(m)
+                vpad = np.concatenate([vs, np.full(mp - m, vs[0], np.int64)])
+                cands = np.full((mp, width), -1, dtype=np.int64)
+                cands[:m, :r] = self.graph_np[vs]
+                for row_i in range(m):
+                    j = lo + row_i
+                    req = src[starts_i[j] : starts_i[j] + min(counts[j], r)]
+                    cur = set(int(x) for x in cands[row_i, :r] if x >= 0)
+                    slot = r
+                    for u in req:
+                        if int(u) not in cur and slot < width:
+                            cands[row_i, slot] = u
+                            cur.add(int(u))
+                            slot += 1
+                pruned = np.asarray(prune_gathered(
+                    jnp.asarray(crows(vpad)), jnp.asarray(crows(cands)),
+                    jnp.asarray(vpad.astype(np.int64)), jnp.asarray(cands),
+                    self.alpha, metric=metric_c, r=r, descending=desc))[:m]
+                self.graph_np[vs] = pruned.astype(self.graph_np.dtype)
+
+        # reachability backstop: a new row that won no reverse slot has zero
+        # in-degree and the walk can never reach it — force one in-edge
+        flat = self.graph_np[self.graph_np >= 0]
+        has_in = np.isin(new_ids, flat)
+        for u in new_ids[~has_in]:
+            fwd = self.graph_np[u]
+            tgt = int(fwd[fwd >= 0][0]) if (fwd >= 0).any() else int(self.medoid)
+            row = self.graph_np[tgt]
+            free = np.nonzero(row < 0)[0]
+            row[free[0] if len(free) else -1] = u
 
     def rebuild(self, coll) -> None:
         from . import IndexBuildOptions

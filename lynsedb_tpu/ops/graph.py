@@ -632,6 +632,26 @@ def _robust_prune_dev(point_keys, pair_keys, cand_ids, alpha, *, r, descending):
 
 
 @partial(jax.jit, static_argnames=("metric", "r", "descending"))
+def prune_gathered(node_rows, cand_rows, node_ids, cand_ids, alpha, *,
+                   metric, r, descending):
+    """Alpha-prune over PRE-GATHERED candidate rows — the streaming-corpus
+    twin of :func:`_prune_chunk_kernel`. The caller gathers only the
+    (BS, L, D) candidate rows from the host mirror (nothing corpus-sized is
+    staged), so in-place graph maintenance works while the full f32 corpus
+    exceeds the device budget (reference: IP-DiskANN inserts run against
+    the on-disk graph the same way, diskann.rs:1496)."""
+    point_keys = jax.vmap(
+        lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0]
+    )(node_rows, cand_rows)
+    bad = (cand_ids < 0) | (cand_ids == node_ids[:, None])
+    point_keys = jnp.where(bad, NEG_INF, point_keys)
+    pair_keys = jax.vmap(lambda xx: _keyed_pairwise(xx, xx, metric))(cand_rows)
+    return _robust_prune_dev(
+        point_keys, pair_keys, jnp.where(bad, -1, cand_ids),
+        alpha, r=r, descending=descending)
+
+
+@partial(jax.jit, static_argnames=("metric", "r", "descending"))
 def _prune_chunk_kernel(corpus, node_ids, cand_ids, alpha, *, metric, r, descending):
     """One-dispatch candidate prune for a node chunk: gathers rows, computes
     point/pair keys in f32 on the MXU, runs the device alpha-prune. Returns

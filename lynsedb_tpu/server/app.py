@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import base64
+import copy
 import os
 import json
 import logging
@@ -110,10 +111,12 @@ class _MicroBatcher:
                 except Exception as e:  # noqa: BLE001 — fan the error out
                     for _, fut in batch:
                         if not fut.done():
-                            # the original instance keeps the traceback and
-                            # survives exception classes whose constructors
-                            # don't take *args
-                            fut.set_exception(e)
+                            # shallow-copy per future: copy.copy preserves
+                            # the type/args of kwarg-only constructors, but
+                            # each handler re-raise gets its own
+                            # __traceback__/__context__ instead of all
+                            # futures mutating one shared instance
+                            fut.set_exception(copy.copy(e))
                     continue
                 for i, (_, fut) in enumerate(batch):
                     if not fut.done():

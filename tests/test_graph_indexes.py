@@ -557,11 +557,12 @@ def test_entry_sample_ids_fixed_shape_and_band_coverage(rng):
 
 def test_graph_on_commit_on_streaming_corpus(db, graph_data, monkeypatch):
     """Writes must keep working when the corpus exceeds the HBM budget:
-    DiskANN gives new rows PQ codes + entry-sample pinning (searchable at
-    exact recall, linked for real once the corpus is resident again); HNSW
-    defers linking entirely (its streaming search is the exact scan).
-    Regression: both previously crashed commit with 'corpus bf16 footprint
-    exceeds the device HBM budget'."""
+    DiskANN links new rows IN PLACE via the PQ tier (candidate discovery on
+    the device codes, exact prune over host-gathered candidate rows only —
+    reference IP-DiskANN inserts against the on-disk graph the same way,
+    diskann.rs:1496); HNSW defers linking entirely (its streaming search is
+    the exact scan). Regression: both previously crashed commit with
+    'corpus bf16 footprint exceeds the device HBM budget'."""
     import lynsedb_tpu.ops.scan as scan_mod
 
     data, queries = graph_data
@@ -581,21 +582,18 @@ def test_graph_on_commit_on_streaming_corpus(db, graph_data, monkeypatch):
     coll.commit()  # previously raised ValueError here
     assert coll._engine.corpus().would_stream()
     assert idx.built_rows == base + 20
-    assert len(idx._unlinked_ids) == 20
-    # new rows are searchable while streaming (entry-sample pinning)
+    # linked in place: no pinned backlog, real forward edges, and every new
+    # row is reachable (at least one in-edge — the walk can find it)
+    assert len(idx._unlinked_ids) == 0
+    assert (idx.graph_np[base:base + 20] >= 0).any(axis=1).all()
+    flat = idx.graph_np[idx.graph_np >= 0]
+    assert np.isin(np.arange(base, base + 20), flat).all(), \
+        "streaming-linked rows must have in-edges"
+    # new rows are searchable while streaming
     res = coll.search(tail[3], k=5, nprobe=80)
     want = np.argsort(-(np.concatenate([data, tail]) @ tail[3]))[:5]
     got = {int(i) for i in res.ids}
     assert len(got & set(want.tolist())) >= 4, (sorted(got), want)
-
-    # corpus resident again -> the next commit links the deferred rows
-    monkeypatch.setattr(scan_mod, "HBM_BYTES", 16 * 1024**3)
-    coll._engine._corpus = None
-    coll.add([base + 20], vectors=tail[:1] + 0.01)
-    coll.commit()
-    assert len(idx._unlinked_ids) == 0
-    assert (idx.graph_np[base:base + 20] >= 0).any(axis=1).all(), \
-        "streaming-era rows still edge-less after resident commit"
 
     # HNSW: streaming commit defers, resident commit catches up
     coll2 = db.require_collection("h_stream_commit", dim=32,
@@ -616,3 +614,54 @@ def test_graph_on_commit_on_streaming_corpus(db, graph_data, monkeypatch):
     coll2.add([base + 10], vectors=tail[10:11])
     coll2.commit()
     assert hidx.built_rows == base + 11
+
+
+def test_diskann_unlinked_rows_exact_for_any_k(db, graph_data):
+    """Rows that remain UNLINKED (read-only legacy loads, where streaming
+    linking can't run) must be returned exactly for ANY k — entry-sample
+    pinning alone only reaches the entry scan's top-ENTRY_TOP of them, which
+    silently under-returns for k > ENTRY_TOP. The search-side exact merge
+    closes that."""
+    data, _ = graph_data
+    rng = np.random.default_rng(17)
+    target = rng.normal(size=(1, 32)).astype(np.float32)
+    # 24 rows clustered tightly around the query (> ENTRY_TOP = 16)
+    hot = (target + 0.01 * rng.normal(size=(24, 32)) + 0.5).astype(np.float32)
+    allv = np.concatenate([data, hot])
+    coll = db.require_collection("g_unlinked_k", dim=32,
+                                 drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(allv))), vectors=allv)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    idx = coll._engine._index
+    # simulate a legacy unlinked tail: cut the hot rows out of the graph
+    sel = np.arange(len(data), len(allv), dtype=np.int64)
+    idx.graph_np[sel] = -1
+    idx.graph_np[np.isin(idx.graph_np, sel)] = -1
+    idx._unlinked_ids = sel
+    idx._graph_dev = None
+    idx._entry_dev = None
+    want = set(np.argsort(-(allv @ target[0]))[:24].tolist())
+    res = coll.search(target[0], k=24)
+    got = set(int(i) for i in res.ids)
+    assert got == want, (sorted(got - want), sorted(want - got))
+
+
+def test_diskann_rebuild_clears_unlinked(db, graph_data):
+    """rebuild() (including the compact() path, which remaps internal ids)
+    must not leak stale _unlinked_ids into the fresh index — stale ids
+    would crash or corrupt the next commit."""
+    data, _ = graph_data
+    coll = db.require_collection("g_rebuild_unl", dim=32,
+                                 drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    idx = coll._engine._index
+    idx._unlinked_ids = np.asarray([10_000_000], dtype=np.int64)  # stale
+    idx.rebuild(coll._engine)
+    idx2 = coll._engine._index
+    assert len(idx2._unlinked_ids) == 0
+    # and a follow-up commit must not crash on the (cleared) ids
+    coll.add([len(data)], vectors=data[:1] + 0.01)
+    coll.commit()

@@ -55,6 +55,24 @@ PQ_FIT_SAMPLE = 131072
 _PQ_METRIC_KIND = {Metric.IP: "ip", Metric.L2: "l2", Metric.COSINE: "cos"}
 
 
+def _beam_batch_cap(n: int) -> int:
+    """Largest query sub-batch for the beam kernels over an n-row graph.
+    Each beam walk carries a per-query (b, n) bool visited bitmap on
+    device; at streaming scale (n only exists because the corpus exceeds
+    the HBM budget) an uncapped b=1024 batch would alone need ~n KB —
+    more than the whole budget. Cap the bitmap to 1/8 of the budget and
+    floor at 16 (16*n bytes is within budget whenever the graph itself
+    — r int32s per row — fits, which the device-resident plane already
+    requires)."""
+    from ..ops import scan as _scan
+
+    budget = max(int(_scan.HBM_BYTES) // 8, 1)
+    for b in (1024, 256, 64):
+        if b * n <= budget:
+            return b
+    return 16
+
+
 def _exceeds_hbm(n: int, dim: int) -> bool:
     """Whether an (n, dim) bf16 scan array would stream (>HBM budget)."""
     from ..ops import scan as _scan
@@ -299,53 +317,63 @@ class DiskANNIndex:
                 corpus.host_rows(np.arange(self.built_rows)), dtype=np.float32))
             if not getattr(coll, "read_only", False):
                 self.save(coll)
-        if use_bf16:
-            # bf16-guided beam + exact host-mirror rescore: the centered
-            # bf16 scan array is already HBM-resident for the flat path, so
-            # guidance runs at bf16 precision (graph-quality-limited: 1M
-            # measured 0.954 exact-beam vs 0.532 PQ-guided at beam=150 —
-            # PQ guidance is reserved for streaming corpora below)
-            aux = corpus.bf16_aux()
-            _, pool, scanned = beam_search_bf16(
-                qj, corpus.data16, aux["mean"], aux["xm"], aux["xc_sq"],
-                aux["xsq_true"], self._graph(), starts, live,
-                metric_kind=guided, beam=beam, max_steps=beam * 2,
-            )
-            ids = np.asarray(pool, dtype=np.int64)
-            self.last_scanned = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
-            dists = corpus.rescore(np.atleast_2d(q.astype(np.float32)), ids, metric)
-        elif self.layered and guided:
-            # streaming (>HBM) tier: PQ-guided beam, exact rescore from the
-            # host mirror (diskann.rs:602 + uses_store_rescore semantics).
-            # The PQ proxy smears the ranking, so the walk runs with a 2x
-            # pool and the exact rescore recovers the order
-            beam_pq = 2 * beam
-            codes_d, books_d, row_sq_d = self._pq_device()
-            _, pool, scanned = beam_search_pq(
-                qj, codes_d, books_d, row_sq_d, self._graph(),
-                starts, live,
-                metric_kind=guided, beam=beam_pq,
-                max_steps=beam_pq * 2,
-            )
-            ids = np.asarray(pool, dtype=np.int64)
-            self.last_scanned = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
-            dists = corpus.rescore(np.atleast_2d(q.astype(np.float32)), ids, metric)
-        else:
+        q2 = np.atleast_2d(q.astype(np.float32))
+
+        def _dispatch(qc, sc, q_np):
+            """One beam dispatch over a (<=cap)-query chunk; returns
+            (ids, dists, scanned) host arrays."""
+            if use_bf16:
+                # bf16-guided beam + exact host-mirror rescore: the centered
+                # bf16 scan array is already HBM-resident for the flat path,
+                # so guidance runs at bf16 precision (graph-quality-limited:
+                # 1M measured 0.954 exact-beam vs 0.532 PQ-guided at
+                # beam=150 — PQ guidance is reserved for streaming corpora)
+                aux = corpus.bf16_aux()
+                _, pool, scanned = beam_search_bf16(
+                    qc, corpus.data16, aux["mean"], aux["xm"], aux["xc_sq"],
+                    aux["xsq_true"], self._graph(), sc, live,
+                    metric_kind=guided, beam=beam, max_steps=beam * 2,
+                )
+                ids = np.asarray(pool, dtype=np.int64)
+                n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
+                return ids, corpus.rescore(q_np, ids, metric), n_sc
+            if self.layered and guided:
+                # streaming (>HBM) tier: PQ-guided beam, exact rescore from
+                # the host mirror (diskann.rs:602 + uses_store_rescore
+                # semantics). The PQ proxy smears the ranking, so the walk
+                # runs with a 2x pool and the exact rescore recovers order
+                beam_pq = 2 * beam
+                codes_d, books_d, row_sq_d = self._pq_device()
+                _, pool, scanned = beam_search_pq(
+                    qc, codes_d, books_d, row_sq_d, self._graph(), sc, live,
+                    metric_kind=guided, beam=beam_pq, max_steps=beam_pq * 2,
+                )
+                ids = np.asarray(pool, dtype=np.int64)
+                n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
+                return ids, corpus.rescore(q_np, ids, metric), n_sc
             keys, ids, scanned = beam_search(
-                qj,
-                corpus._data,
-                self._graph(),
-                starts,
-                live,
-                metric=metric,
-                beam=beam,
-                max_steps=beam * 2,
-                k=k,
+                qc, corpus._data, self._graph(), sc, live,
+                metric=metric, beam=beam, max_steps=beam * 2, k=k,
             )
-            self.last_scanned = int(np.asarray(scanned).max(initial=0))
             keys = np.asarray(keys)
-            ids = np.asarray(ids, dtype=np.int64)
-            dists = -keys if metric.ascending else keys
+            return (np.asarray(ids, dtype=np.int64),
+                    -keys if metric.ascending else keys,
+                    int(np.asarray(scanned).max(initial=0)))
+
+        # the beam kernels carry a (b, n) visited bitmap on device — cap
+        # the query sub-batch so it stays within budget (matters exactly
+        # when n is streaming-scale; see _beam_batch_cap)
+        cap = _beam_batch_cap(self.built_rows)
+        nq = int(qj.shape[0])
+        if nq <= cap:
+            ids, dists, self.last_scanned = _dispatch(qj, starts, q2)
+        else:
+            parts = [_dispatch(qj[i : i + cap], starts[i : i + cap],
+                               q2[i : i + cap])
+                     for i in range(0, nq, cap)]
+            ids = np.concatenate([p[0] for p in parts])
+            dists = np.concatenate([p[1] for p in parts])
+            self.last_scanned = max(p[2] for p in parts)
 
         # exact merge of any rows that remain UNLINKED (read-only legacy
         # loads where streaming linking could not run): entry-sample pinning
@@ -529,18 +557,17 @@ class DiskANNIndex:
             # currently-tombstoned rows are linked too: edges into dead
             # nodes are masked by the live mask at search time, and a later
             # restore_items must find the row reachable (the streaming path
-            # has no reconnect_orphans pass)
-            self._link_streaming(coll, corpus, to_link, live)
-            self._unlinked_ids = np.empty(0, dtype=np.int64)
+            # has no reconnect_orphans pass). Rows the link pass could not
+            # wire to a pre-existing node stay in the backlog: pinned into
+            # the entry sample + exact-merged at search, retried next commit
+            self._unlinked_ids = self._link_streaming(
+                coll, corpus, to_link, live)
             changed = True
         else:
             # linking unavailable: keep the rows pinned in the entry sample
             # (search exact-merges them for any k)
             self._unlinked_ids = to_link
         # entry points must stay live even while streaming (host-side fix)
-        tombs = coll.tombstones.to_bool_array(n)
-        live = np.ones(n, dtype=bool)
-        live[: len(tombs)] &= ~tombs
         if not live[self._starts_np].all():
             live_rows = np.nonzero(live)[0]
             if len(live_rows):
@@ -564,7 +591,7 @@ class DiskANNIndex:
             self.save(coll)
 
     def _link_streaming(self, coll, corpus, new_ids: np.ndarray,
-                        live: np.ndarray) -> None:
+                        live: np.ndarray) -> np.ndarray:
         """In-place graph insert while the full f32 corpus exceeds the HBM
         budget (reference: IP-DiskANN inserts against the on-disk graph,
         diskann.rs:1496). Candidate discovery walks the device PQ tier;
@@ -572,7 +599,14 @@ class DiskANNIndex:
         mirror — nothing corpus-sized is staged. For IP the prune runs in
         construction space (angular: L2 over normalized rows, see
         ops/graph._construction_space), so candidate discovery walks the
-        PQ codes under "cos"."""
+        PQ codes under "cos".
+
+        Returns the ids that did NOT receive an in-edge from a
+        pre-existing node: the beam can never reach a zero-in-degree row
+        (and an in-edge granted only by a sibling new row can form an
+        unreachable island), so such rows stay in `_unlinked_ids` — the
+        entry sample pins them and search exact-merges them (correct for
+        any k) until a later commit or rebuild wires them for real."""
         ip = self.metric is Metric.IP
         metric_c = Metric.L2 if ip else self.metric
         desc = not metric_c.ascending
@@ -583,36 +617,43 @@ class DiskANNIndex:
         graph_dev = self._graph()
         codes_d, books_d, row_sq_d = self._pq_device()
         live_dev = jnp.asarray(live[: self.built_rows])
+        # the beam's (b, n) visited bitmap bounds the sub-batch (see
+        # _beam_batch_cap); pad to the smallest allowed bucket so repeated
+        # streaming commits reuse at most a couple of compiled shapes
+        cap = _beam_batch_cap(self.built_rows)
+        buckets = tuple(s for s in (16, 64, 256, 1024) if s <= cap) or (16,)
 
-        def crows(ids: np.ndarray) -> np.ndarray:
-            rows = np.asarray(
+        def raw_rows(ids: np.ndarray) -> np.ndarray:
+            return np.asarray(
                 corpus.host_rows(np.maximum(ids, 0).astype(np.int64).ravel()),
                 dtype=np.float32).reshape(*ids.shape, -1)
+
+        def cspace(rows: np.ndarray) -> np.ndarray:
             if ip:
-                rows /= np.maximum(
+                rows = rows / np.maximum(
                     np.linalg.norm(rows, axis=-1, keepdims=True), 1e-30)
             return rows
 
         def bucket(m: int) -> int:
-            return next(s for s in (64, 256, 1024) if m <= s)
+            return next((s for s in buckets if m <= s), buckets[-1])
 
         rev_src: list[np.ndarray] = []
         rev_dst: list[np.ndarray] = []
-        for lo in range(0, len(new_ids), 1024):
-            chunk = new_ids[lo : lo + 1024]
+        step = buckets[-1]
+        for lo in range(0, len(new_ids), step):
+            chunk = new_ids[lo : lo + step]
             m = len(chunk)
-            mp = bucket(m)  # pad to one of 3 shapes: compiles are expensive
+            mp = bucket(m)
             cpad = np.concatenate([chunk, np.full(mp - m, chunk[0], np.int64)])
-            node_rows = crows(cpad)
-            qj = jnp.asarray(np.asarray(
-                corpus.host_rows(cpad), dtype=np.float32))
+            raw = raw_rows(cpad)  # one host gather serves walk + prune
+            qj = jnp.asarray(raw)
             starts = self._query_starts(coll, qj, live_dev)
             _, pool, _ = beam_search_pq(
                 qj, codes_d, books_d, row_sq_d, graph_dev, starts, live_dev,
                 metric_kind=walk_kind, beam=lw, max_steps=2 * lw)
             cand = np.asarray(pool, dtype=np.int64)  # (mp, lw)
             pruned = np.asarray(prune_gathered(
-                jnp.asarray(node_rows), jnp.asarray(crows(cand)),
+                jnp.asarray(cspace(raw)), jnp.asarray(cspace(raw_rows(cand))),
                 jnp.asarray(cpad.astype(np.int64)), jnp.asarray(cand),
                 self.alpha, metric=metric_c, r=r, descending=desc))[:m]
             self.graph_np[chunk] = pruned.astype(self.graph_np.dtype)
@@ -622,49 +663,48 @@ class DiskANNIndex:
             rev_dst.append(fwd[keep])
 
         # reverse-edge merge: each forward target re-prunes its list against
-        # the requesters (capped first-come at r per target, matching the
-        # build's deterministic reverse pass)
-        if rev_src:
-            src = np.concatenate(rev_src)
+        # its requesters (capped first-come at r per target, matching the
+        # build's deterministic reverse pass). Vectorized requester slotting:
+        # rank-within-group < r picks each target's first r requesters.
+        src = np.concatenate(rev_src) if rev_src else np.empty(0, np.int64)
+        uniq = np.empty(0, dtype=np.int64)
+        if len(src):
             dst = np.concatenate(rev_dst)
             order = np.argsort(dst, kind="stable")
             src, dst = src[order], dst[order]
             uniq, starts_i, counts = np.unique(
                 dst, return_index=True, return_counts=True)
-            width = 2 * r
-            for lo in range(0, len(uniq), 1024):
-                vs = uniq[lo : lo + 1024]
+            rank = np.arange(len(dst)) - np.repeat(starts_i, counts)
+            grp = np.repeat(np.arange(len(uniq)), counts)
+            keep = rank < r
+            req = np.full((len(uniq), r), -1, dtype=np.int64)
+            req[grp[keep], rank[keep]] = src[keep]
+            existing = self.graph_np[uniq].astype(np.int64)  # (T, r)
+            dup = (req[:, :, None] == existing[:, None, :]).any(-1)
+            req[dup] = -1
+            for lo in range(0, len(uniq), step):
+                vs = uniq[lo : lo + step]
                 m = len(vs)
                 mp = bucket(m)
                 vpad = np.concatenate([vs, np.full(mp - m, vs[0], np.int64)])
-                cands = np.full((mp, width), -1, dtype=np.int64)
-                cands[:m, :r] = self.graph_np[vs]
-                for row_i in range(m):
-                    j = lo + row_i
-                    req = src[starts_i[j] : starts_i[j] + min(counts[j], r)]
-                    cur = set(int(x) for x in cands[row_i, :r] if x >= 0)
-                    slot = r
-                    for u in req:
-                        if int(u) not in cur and slot < width:
-                            cands[row_i, slot] = u
-                            cur.add(int(u))
-                            slot += 1
+                cands = np.full((mp, 2 * r), -1, dtype=np.int64)
+                cands[:m, :r] = existing[lo : lo + m]
+                cands[:m, r:] = req[lo : lo + m]
                 pruned = np.asarray(prune_gathered(
-                    jnp.asarray(crows(vpad)), jnp.asarray(crows(cands)),
+                    jnp.asarray(cspace(raw_rows(vpad))),
+                    jnp.asarray(cspace(raw_rows(cands))),
                     jnp.asarray(vpad.astype(np.int64)), jnp.asarray(cands),
                     self.alpha, metric=metric_c, r=r, descending=desc))[:m]
                 self.graph_np[vs] = pruned.astype(self.graph_np.dtype)
 
-        # reachability backstop: a new row that won no reverse slot has zero
-        # in-degree and the walk can never reach it — force one in-edge
-        flat = self.graph_np[self.graph_np >= 0]
-        has_in = np.isin(new_ids, flat)
-        for u in new_ids[~has_in]:
-            fwd = self.graph_np[u]
-            tgt = int(fwd[fwd >= 0][0]) if (fwd >= 0).any() else int(self.medoid)
-            row = self.graph_np[tgt]
-            free = np.nonzero(row < 0)[0]
-            row[free[0] if len(free) else -1] = u
+        # in-edges granted this commit can only live in rows written this
+        # commit; count only those from PRE-EXISTING nodes (an in-edge from
+        # a sibling new row can be an unreachable island). Orphans stay
+        # pinned/exact-merged rather than force-evicting someone else's edge.
+        old_writers = uniq[~np.isin(uniq, new_ids)]
+        reached = np.isin(new_ids, self.graph_np[old_writers]) if len(
+            old_writers) else np.zeros(len(new_ids), dtype=bool)
+        return new_ids[~reached]
 
     def rebuild(self, coll) -> None:
         from . import IndexBuildOptions

@@ -111,12 +111,19 @@ class _MicroBatcher:
                 except Exception as e:  # noqa: BLE001 — fan the error out
                     for _, fut in batch:
                         if not fut.done():
-                            # shallow-copy per future: copy.copy preserves
-                            # the type/args of kwarg-only constructors, but
-                            # each handler re-raise gets its own
-                            # __traceback__/__context__ instead of all
-                            # futures mutating one shared instance
-                            fut.set_exception(copy.copy(e))
+                            # shallow-copy per future so each handler
+                            # re-raise gets its own __traceback__/__context__
+                            # instead of all futures mutating one shared
+                            # instance — but copy.copy reconstructs via
+                            # cls(*e.args) and raises TypeError for
+                            # kwarg-only/multi-arg constructors; those fall
+                            # back to the shared instance (never let the
+                            # drain task die with futures unresolved)
+                            try:
+                                err = copy.copy(e)
+                            except Exception:  # noqa: BLE001
+                                err = e
+                            fut.set_exception(err)
                     continue
                 for i, (_, fut) in enumerate(batch):
                     if not fut.done():

@@ -665,3 +665,67 @@ def test_diskann_rebuild_clears_unlinked(db, graph_data):
     # and a follow-up commit must not crash on the (cleared) ids
     coll.add([len(data)], vectors=data[:1] + 0.01)
     coll.commit()
+
+
+def test_diskann_resident_relink_of_legacy_backlog(db, graph_data):
+    """A legacy index loaded with an 'unlinked' backlog (rows committed by
+    an older build while the corpus streamed) must get real adjacency on
+    the next RESIDENT commit via the insert_points branch — and the
+    backlog must clear so search stops paying the exact-merge tax."""
+    data, _ = graph_data
+    coll = db.require_collection("g_resident_relink", dim=32,
+                                 drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    idx = coll._engine._index
+    # simulate the legacy on-disk state: last 12 rows edge-less + backlogged
+    sel = np.arange(len(data) - 12, len(data), dtype=np.int64)
+    idx.graph_np[sel] = -1
+    idx.graph_np[np.isin(idx.graph_np, sel)] = -1
+    idx._unlinked_ids = sel
+    idx._graph_dev = None
+    idx._entry_dev = None
+    # a resident commit (corpus well under the HBM budget) relinks them
+    coll.add([len(data)], vectors=data[:1] + 0.01)
+    coll.commit()
+    assert len(idx._unlinked_ids) == 0
+    assert (idx.graph_np[sel] >= 0).any(axis=1).all(), \
+        "legacy backlog rows still edge-less after resident commit"
+    # and they are genuinely searchable through the graph (not the merge)
+    q = data[len(data) - 3]
+    res = coll.search(q, k=5, nprobe=80)
+    assert int(len(data) - 3) in {int(i) for i in res.ids}
+
+
+def test_diskann_search_subbatches_past_beam_cap(db, graph_data, monkeypatch):
+    """When the query batch exceeds _beam_batch_cap (the (b, n) visited
+    bitmap budget — binding exactly at streaming scale), search must split
+    the dispatch into capped sub-batches with identical results. Shrinking
+    HBM_BYTES both forces streaming (PQ-guided path) and drops the cap to
+    its 16-query floor, so a 40-query batch takes the chunked path."""
+    import lynsedb_tpu.ops.scan as scan_mod
+    from lynsedb_tpu.index.diskann import _beam_batch_cap
+
+    data, _ = graph_data
+    coll = db.require_collection("g_subbatch", dim=32,
+                                 drop_if_exists=True, default_index=None)
+    coll.add(list(range(len(data))), vectors=data)
+    coll.commit()
+    coll.build_index("DISKANN-IP")
+    monkeypatch.setattr(scan_mod, "HBM_BYTES", 64 * 1024)
+    coll._engine._corpus = None
+    assert coll._engine.corpus().would_stream()
+    assert _beam_batch_cap(len(data)) == 16
+    qs = data[:40] + np.float32(0.01)
+    rows = coll.batch_search(qs, 10, nprobe=80)
+    assert len(rows) == 40
+    hits = 0
+    for i, row in enumerate(rows):
+        want = set(np.argsort(-(data @ qs[i]))[:10].tolist())
+        hits += len({int(x) for x in row.ids} & want)
+        # per-query single search must agree with the batched dispatch
+        if i < 4:
+            solo = coll.search(qs[i], k=10, nprobe=80)
+            assert {int(x) for x in solo.ids} == {int(x) for x in row.ids}
+    assert hits / 400 >= 0.9, hits / 400

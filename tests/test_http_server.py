@@ -381,3 +381,39 @@ def test_remote_search_rejects_malformed_vectors(rdb, rng):
     # well-formed traffic still works after the rejects
     res = coll.search(vecs[0], k=3)
     assert len(res.ids) == 3
+
+
+def test_microbatcher_kwarg_only_exception_fans_out():
+    """A batch-level engine error whose exception class has a kwarg-only
+    constructor must still fan out to every waiting future: copy.copy on
+    such an instance raises TypeError (BaseException.__reduce__ rebuilds
+    via cls(*args)), which previously escaped the fan-out loop, killed the
+    drain task, and hung every unresolved request in the batch."""
+    import asyncio
+
+    from lynsedb_tpu.server.app import _MicroBatcher
+
+    class KwErr(Exception):
+        def __init__(self, *, code):
+            super().__init__(code)
+            self.code = code
+
+    class FakeServer:
+        microbatch_gather_ms = 0
+        microbatch_stats = {"batches": 0, "queries": 0}
+
+        async def _run(self, *a, **k):
+            raise KwErr(code=7)
+
+    class FakeColl:
+        batch_search = staticmethod(lambda *a, **k: None)
+
+    async def main():
+        b = _MicroBatcher(FakeServer(), coll=FakeColl(), params={})
+        return await asyncio.gather(
+            *(b.submit(np.zeros(4, np.float32)) for _ in range(5)),
+            return_exceptions=True)
+
+    outs = asyncio.run(main())
+    assert len(outs) == 5
+    assert all(isinstance(o, KwErr) and o.code == 7 for o in outs), outs

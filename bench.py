@@ -26,6 +26,15 @@ import time
 
 import numpy as np
 
+# BENCH_PLATFORM=cpu pins the JAX platform BEFORE first jax use: on this
+# host the TPU plugin wins over the JAX_PLATFORMS env var, and with the
+# tunnel down its connection retries wedge the whole run. Unset (the
+# driver's hardware run), the default device is used.
+if os.environ.get("BENCH_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 BASELINE_SEARCH_MS = 6.013  # reference 1M x 128 FLAT-IP mean (BASELINE.md)
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
@@ -216,7 +225,10 @@ def main() -> None:
         # ── second-process cold start: open -> first search in a fresh
         #    interpreter (persistent-compile-cache / staging story) ────────
         code = (
-            "import time,sys,numpy as np\n"
+            "import time,sys,os,numpy as np\n"
+            "if os.environ.get('BENCH_PLATFORM'):\n"
+            "    import jax\n"
+            "    jax.config.update('jax_platforms', os.environ['BENCH_PLATFORM'])\n"
             "t0=time.perf_counter()\n"
             "import lynsedb_tpu as lynse\n"
             f"c=lynse.VectorDBClient({root!r}, read_only=True)\n"

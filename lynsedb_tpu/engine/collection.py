@@ -1318,6 +1318,18 @@ class Collection:
                                  vector_weight=vector_weight,
                                  text_weight=text_weight, rrf_k=rrf_k)
 
+    def fuse_hybrid(self, vres, tres, k: int, *, fusion: str = "rrf",
+                    vector_weight: float = 1.0, text_weight: float = 1.0,
+                    rrf_k: float = 60.0) -> SearchResult:
+        """Fuse already-computed vector and text results (RRF or weighted).
+
+        Public so serving layers can source the vector plane from a shared
+        fused dispatch (e.g. the HTTP micro-batcher) and still get the exact
+        hybrid_search fusion semantics (reference: engine.rs:5079)."""
+        return self._fuse_hybrid(vres, tres, k, fusion=fusion,
+                                 vector_weight=vector_weight,
+                                 text_weight=text_weight, rrf_k=rrf_k)
+
     def _fuse_hybrid(self, vres, tres, k: int, *, fusion: str,
                      vector_weight: float, text_weight: float,
                      rrf_k: float) -> SearchResult:

@@ -848,20 +848,63 @@ class LynseServer:
         body = await self._body(request)
         coll = self._coll(body)
         vector = body.get("vector")
-        result = await self._run(
-            coll.hybrid_search,
-            None if vector is None else np.asarray(vector, dtype=np.float32),
-            body.get("text"),
-            self._check_k(body.get("k", 10)),
-            where=body.get("where"),
-            text_fields=body.get("text_fields"),
-            fusion=body.get("fusion", "rrf"),
-            vector_weight=float(body.get("vector_weight", 1.0)),
-            text_weight=float(body.get("text_weight", 1.0)),
-            rrf_k=float(body.get("rrf_k", 60.0)),
-            candidate_limit=int(body.get("candidate_limit") or 0),
-            nprobe=int(body.get("nprobe", 10)),
-        )
+        k = self._check_k(body.get("k", 10))
+        candidate_limit = max(int(body.get("candidate_limit") or 0), k, 1)
+        # Coalesced hybrid: the vector plane rides the SAME micro-batcher as
+        # /search (one fused device dispatch for every concurrent hybrid +
+        # plain search with matching params), BM25 scores on the host while
+        # the device works, and fusion runs per request. Falls back to the
+        # engine's own overlapped path when batching is off, there is no
+        # vector, or candidate_limit exceeds the /search k limit.
+        if (
+            self.microbatch_gather_ms >= 0
+            and vector is not None
+            and candidate_limit <= self.limits.max_top_k
+        ):
+            vec = np.asarray(vector, dtype=np.float32)
+            vbody = {
+                "database_name": body["database_name"],
+                "collection_name": body["collection_name"],
+                "k": candidate_limit,
+                "where": body.get("where"),
+                "nprobe": int(body.get("nprobe", 10)),
+            }
+            vtask = asyncio.ensure_future(self._coalesced_search(vbody, coll, vec))
+            try:
+                text = body.get("text")
+                tres = None
+                if text is not None and str(text).strip():
+                    tres = await self._run(
+                        coll.text_search, text, candidate_limit,
+                        text_fields=body.get("text_fields"),
+                        where=body.get("where"),
+                    )
+            except BaseException:
+                vtask.cancel()
+                raise
+            vres = await vtask
+            result = coll.fuse_hybrid(
+                vres, tres, k,
+                fusion=body.get("fusion", "rrf"),
+                vector_weight=float(body.get("vector_weight", 1.0)),
+                text_weight=float(body.get("text_weight", 1.0)),
+                rrf_k=float(body.get("rrf_k", 60.0)),
+            )
+        else:
+            result = await self._run(
+                coll.hybrid_search,
+                None if vector is None else np.asarray(vector, dtype=np.float32),
+                body.get("text"),
+                k,
+                where=body.get("where"),
+                text_fields=body.get("text_fields"),
+                fusion=body.get("fusion", "rrf"),
+                vector_weight=float(body.get("vector_weight", 1.0)),
+                text_weight=float(body.get("text_weight", 1.0)),
+                rrf_k=float(body.get("rrf_k", 60.0)),
+                candidate_limit=int(body.get("candidate_limit") or 0),
+                nprobe=int(body.get("nprobe", 10)),
+            )
         return _success({"items": self._search_items(coll, result, body.get("return_fields", False))})
 
     async def search_range(self, request):

@@ -289,6 +289,41 @@ def test_concurrent_search_microbatch_mixed_params(rdb, rng):
         assert res.ids.tolist() == want.tolist()
 
 
+def test_concurrent_hybrid_microbatch(server, rdb, rng, tmp_path):
+    """Concurrent /hybrid_search requests ride the same micro-batcher as
+    /search for their vector plane (one fused dispatch) and return exactly
+    the engine's own hybrid_search fusion (verified against an embedded
+    mirror of the same data)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    coll = rdb.require_collection("hmb", dim=16, drop_if_exists=True)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    words = ["alpha", "beta", "gamma", "delta"]
+    fields = [{"doc": f"{words[i % 4]} note {i}"} for i in range(120)]
+    coll.add(list(range(120)), vectors=vecs, fields=fields)
+    coll.commit()
+
+    local = lynse.VectorDBClient(str(tmp_path / "hybrid_mirror"))
+    ldb = local.create_database("m")
+    lcoll = ldb.require_collection("hmb", dim=16)
+    lcoll.add(list(range(120)), vectors=vecs, fields=fields)
+    lcoll.commit()
+
+    stats = server.server.microbatch_stats
+    before = dict(stats)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(
+            lambda i: coll.hybrid_search(vector=vecs[i], text=words[i % 4], k=5),
+            range(24)))
+    for i, res in enumerate(results):
+        want = lcoll.hybrid_search(vecs[i], words[i % 4], k=5)
+        assert res.ids.tolist() == want.ids.tolist(), i
+        np.testing.assert_allclose(res.distances, want.distances, rtol=1e-5)
+    # every hybrid request's vector plane went through the batcher
+    assert stats["queries"] - before["queries"] == 24
+    local.close()
+
+
 def test_prewarm_route(rdb, rng):
     coll = rdb.require_collection("cpw", dim=8, drop_if_exists=True)
     coll.add(list(range(50)), vectors=rng.normal(size=(50, 8)).astype(np.float32))

@@ -15,7 +15,9 @@ floats. The response uses the same frame shape; errors come back as
 from __future__ import annotations
 
 import asyncio
+import copy
 import logging
+import os
 import socket
 import struct
 import threading
@@ -62,11 +64,76 @@ def _decode_vectors(payload: bytes, dim: int, wire_dtype: str) -> np.ndarray:
     return decode_f32(payload, wire_dtype).reshape(-1, dim)
 
 
+class _RpcSearchBatcher:
+    """Coalesces concurrent single-query SEARCH ops with identical params
+    into one fused ``batch_search`` dispatch — the RPC twin of the HTTP
+    micro-batcher (app.py): under cluster fan-out load each shard sees many
+    concurrent SEARCH frames, and one B=n dispatch beats n B=1 chains."""
+
+    def __init__(self, server: "RpcServer", coll, params: dict):
+        self.server = server
+        self.coll = coll
+        self.params = params
+        self.pending: list[tuple[np.ndarray, "asyncio.Future"]] = []
+        self._draining = False
+
+    async def submit(self, vector: np.ndarray):
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self.pending.append((vector, fut))
+        if not self._draining:
+            self._draining = True
+            loop.create_task(self._drain())
+        return await fut
+
+    async def _drain(self) -> None:
+        try:
+            gather_s = self.server.microbatch_gather_ms / 1e3
+            if gather_s > 0:
+                await asyncio.sleep(gather_s)
+            loop = asyncio.get_running_loop()
+            while self.pending:
+                batch, self.pending = self.pending, []
+                stats = self.server.microbatch_stats
+                stats["batches"] += 1
+                stats["queries"] += len(batch)
+                try:
+                    vecs = np.stack([v for v, _ in batch])
+                    coll, params = self.coll, self.params
+                    res = await loop.run_in_executor(
+                        None, lambda: coll.batch_search(vecs, **params))
+                except Exception as e:  # noqa: BLE001 — fan the error out
+                    for _, fut in batch:
+                        if not fut.done():
+                            try:
+                                err = copy.copy(e)
+                            except Exception:  # noqa: BLE001
+                                err = e
+                            fut.set_exception(err)
+                    continue
+                for i, (_, fut) in enumerate(batch):
+                    if not fut.done():
+                        fut.set_result(
+                            type(res)(
+                                ids=res.ids[i],
+                                distances=res.distances[i],
+                                distance_metric=res.distance_metric,
+                                index_type=res.index_type,
+                            )
+                        )
+        finally:
+            self._draining = False
+            if self.pending:  # raced arrivals after the while-check
+                self._draining = True
+                asyncio.get_running_loop().create_task(self._drain())
+
+
 class RpcServer:
     """Per-node RPC listener sharing the HTTP server's DatabaseManager."""
 
     def __init__(self, manager, api_key: Optional[str] = None,
-                 metadata_path: Optional[str] = None):
+                 metadata_path: Optional[str] = None,
+                 microbatch_gather_ms: Optional[float] = None):
         self.manager = manager
         self.api_key = api_key
         self.port: Optional[int] = None
@@ -76,6 +143,13 @@ class RpcServer:
         # store; reference: ShardMetadataStore over RPC, cluster.py:641)
         self._meta_lock = threading.Lock()
         self._metadata_path = metadata_path
+        # SEARCH micro-batching (same knob as the HTTP server; <0 disables)
+        if microbatch_gather_ms is None:
+            microbatch_gather_ms = float(os.environ.get(
+                "LYNSE_TPU_SERVER_MICROBATCH_MS", "2.0"))
+        self.microbatch_gather_ms = microbatch_gather_ms
+        self.microbatch_stats = {"batches": 0, "queries": 0}
+        self._batchers: dict[tuple, _RpcSearchBatcher] = {}
 
     # ── lifecycle ────────────────────────────────────────────────────────
 
@@ -128,6 +202,8 @@ class RpcServer:
         if op == "PING":
             return {"ok": True, "pong": True}, b""
         if op == "SEARCH":
+            if self.microbatch_gather_ms >= 0:
+                return await self._op_search_coalesced(meta, payload)
             return await loop.run_in_executor(None, self._op_search, meta, payload)
         if op == "BATCH_SEARCH":
             return await loop.run_in_executor(None, self._op_batch_search, meta, payload)
@@ -149,6 +225,30 @@ class RpcServer:
 
     # ── read ops: raw vector payloads in, packed ids+dists out ──────────
 
+    async def _op_search_coalesced(self, meta: dict, payload: bytes) -> tuple[dict, bytes]:
+        coll = self._coll(meta)
+        q = _decode_vectors(payload, meta["dim"], meta.get("wire_dtype", "float32"))[0]
+        params = dict(
+            k=int(meta.get("k", 10)),
+            where=meta.get("where"),
+            nprobe=int(meta.get("nprobe", 10)),
+            approx=bool(meta.get("approx", False)),
+            eps=float(meta.get("eps", 1e-4)),
+        )
+        key = (
+            meta["database_name"], meta["collection_name"], params["k"],
+            params["where"], params["nprobe"], params["approx"],
+            params["eps"], int(meta["dim"]),
+        )
+        batcher = self._batchers.get(key)
+        if batcher is None or batcher.coll is not coll:
+            if len(self._batchers) >= 64:
+                self._batchers.pop(next(iter(self._batchers)))
+            batcher = _RpcSearchBatcher(self, coll, params)
+            self._batchers[key] = batcher
+        result = await batcher.submit(np.ascontiguousarray(q, dtype=np.float32))
+        return self._encode_search_result(coll, result, meta)
+
     def _op_search(self, meta: dict, payload: bytes) -> tuple[dict, bytes]:
         coll = self._coll(meta)
         q = _decode_vectors(payload, meta["dim"], meta.get("wire_dtype", "float32"))[0]
@@ -157,6 +257,9 @@ class RpcServer:
             nprobe=int(meta.get("nprobe", 10)), approx=bool(meta.get("approx", False)),
             eps=float(meta.get("eps", 1e-4)),
         )
+        return self._encode_search_result(coll, result, meta)
+
+    def _encode_search_result(self, coll, result, meta: dict) -> tuple[dict, bytes]:
         eids = coll.internal_to_external(result.ids)
         int_safe = all(isinstance(e, int) for e in eids)
         out_payload = (

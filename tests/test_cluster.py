@@ -341,6 +341,55 @@ def test_rpc_plane_direct(tmp_path_factory, rng):
         srv.stop()
 
 
+def test_rpc_search_microbatch(tmp_path_factory, rng):
+    """Concurrent single-query SEARCH frames coalesce into fused
+    batch_search dispatches on the shard (the RPC twin of the HTTP
+    micro-batcher) while every request still gets its own exact result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from lynsedb_tpu.server.rpc import RpcClient, decode_search_response
+
+    srv = BackgroundServer(str(tmp_path_factory.mktemp("rpcmb") / "s"), port=0)
+    try:
+        vecs = rng.normal(size=(60, 8)).astype(np.float32)
+        requests.post(srv.url + "/create_database", json={"database_name": "d"}, timeout=10)
+        requests.post(srv.url + "/required_collection",
+                      json={"database_name": "d", "collection_name": "c", "dim": 8}, timeout=10)
+        base = {"database_name": "d", "collection_name": "c", "dim": 8}
+        rpc = RpcClient()
+        rpc.call(srv.host, srv.rpc_port,
+                 {**base, "op": "BULK_ADD_BINARY_IDS",
+                  "ids": np.arange(60, dtype=np.int64).tobytes()}, vecs.tobytes())
+        rpc.call(srv.host, srv.rpc_port,
+                 {**base, "op": "COLLECTION_CONTROL", "action": "commit"})
+        rpc.close()
+
+        stats = srv._rpc.microbatch_stats
+        before = dict(stats)
+
+        def one(i):
+            c = RpcClient()
+            try:
+                meta, payload = c.call(srv.host, srv.rpc_port,
+                                       {**base, "op": "SEARCH", "k": 5},
+                                       vecs[i].tobytes())
+                return decode_search_response(meta, payload)
+            finally:
+                c.close()
+
+        with ThreadPoolExecutor(max_workers=12) as pool:
+            results = list(pool.map(one, range(24)))
+        want = np.argsort(-(vecs[:24] @ vecs.T), axis=1)[:, :5]
+        for i, (ids, _) in enumerate(results):
+            assert ids == want[i].tolist()
+        assert stats["queries"] - before["queries"] == 24
+        assert stats["batches"] - before["batches"] < 24  # some coalesced
+    finally:
+        srv.stop()
+
+
 def test_coordinator_rides_rpc_plane(cluster, rng):
     """Coordinator reads go over pooled TCP RPC when the shards' derived RPC
     ports answer — not the HTTP fallback."""

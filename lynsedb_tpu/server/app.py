@@ -1255,6 +1255,7 @@ def run_server(root_path: str, host: str = "127.0.0.1", port: int = 7637,
 
         rpc = RpcServer(server.manager, api_key=server.api_key,
                         metadata_path=str(server.manager.root / ".rpc_metadata.json"))
+        server.metrics.rpc_microbatch_stats = rpc.microbatch_stats
 
         async def _start_rpc(app):
             await rpc.start(host, derive_rpc_port(port))
@@ -1305,6 +1306,7 @@ class BackgroundServer:
                     self.server.manager, api_key=self.server.api_key,
                     metadata_path=str(self.server.manager.root / ".rpc_metadata.json"),
                 )
+                self.server.metrics.rpc_microbatch_stats = self._rpc.microbatch_stats
                 try:
                     self.rpc_port = await self._rpc.start(self.host, derive_rpc_port(real_port))
                 except OSError:  # derived port taken — fall back to ephemeral

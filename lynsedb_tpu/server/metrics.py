@@ -25,6 +25,9 @@ class HttpMetrics:
         # wired by the server: its live micro-batcher counters
         # ({"batches": int, "queries": int}); rendered when present
         self.microbatch_stats: dict[str, int] | None = None
+        # wired when the internal RPC listener is attached: the RPC
+        # SEARCH-plane batcher counters, same shape
+        self.rpc_microbatch_stats: dict[str, int] | None = None
 
     def observe(self, route: str, status: int, seconds: float) -> None:
         with self._lock:
@@ -79,6 +82,13 @@ class HttpMetrics:
                 lines.append("# TYPE lynse_search_microbatched_queries_total counter")
                 lines.append(
                     f"lynse_search_microbatched_queries_total {self.microbatch_stats.get('queries', 0)}")
+            if self.rpc_microbatch_stats is not None:
+                lines.append("# TYPE lynse_rpc_search_microbatches_total counter")
+                lines.append(
+                    f"lynse_rpc_search_microbatches_total {self.rpc_microbatch_stats.get('batches', 0)}")
+                lines.append("# TYPE lynse_rpc_search_microbatched_queries_total counter")
+                lines.append(
+                    f"lynse_rpc_search_microbatched_queries_total {self.rpc_microbatch_stats.get('queries', 0)}")
 
         if manager is not None:
             try:

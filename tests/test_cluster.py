@@ -386,6 +386,8 @@ def test_rpc_search_microbatch(tmp_path_factory, rng):
             assert ids == want[i].tolist()
         assert stats["queries"] - before["queries"] == 24
         assert stats["batches"] - before["batches"] < 24  # some coalesced
+        m = requests.get(srv.url + "/metrics", timeout=10).text
+        assert "lynse_rpc_search_microbatched_queries_total 24" in m
     finally:
         srv.stop()
 

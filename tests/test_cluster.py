@@ -411,6 +411,31 @@ def test_coordinator_rides_rpc_plane(cluster, rng):
     assert not coord.coordinator._rpc_down, coord.coordinator._rpc_down
 
 
+def test_coordinator_hybrid_fanout_merge(cluster, rng):
+    """Hybrid search fans out to every shard group and the coordinator's
+    k-way merge returns the globally best fused scores (descending — RRF
+    scores are higher-is-better regardless of the vector metric)."""
+    coord, _shards = cluster
+    url = coord.url
+    _post(url, "/required_collection",
+          {"database_name": "cdb", "collection_name": "hyb", "dim": 8})
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    words = ["alpha", "beta"]
+    _post(url, "/add", {"database_name": "cdb", "collection_name": "hyb",
+                        "ids": list(range(40)), "vectors": vecs.tolist(),
+                        "fields": [{"doc": f"{words[i % 2]} row {i}"}
+                                   for i in range(40)]})
+    items = _post(url, "/hybrid_search",
+                  {"database_name": "cdb", "collection_name": "hyb",
+                   "vector": vecs[2].tolist(), "text": "alpha", "k": 6})["items"]
+    assert len(items["ids"]) == 6
+    # fused scores arrive globally sorted descending across shards
+    scores = items["scores"]
+    assert scores == sorted(scores, reverse=True)
+    # the query's own row (exact vector match + matching 'alpha' text) wins
+    assert items["ids"][0] == 2
+
+
 def _free_port():
     import socket
 

@@ -190,9 +190,12 @@ def main() -> None:
             log(f"engine: {eng} present but no adapter wired — add one to compare")
 
     ours = results["lynsedb_tpu"]
+    import jax  # after bench_lynse: platform is already resolved
+
     report = {
         "config": {"n": args.n, "dim": args.dim, "queries": args.queries, "k": K,
-                   "host_cpus": os.cpu_count()},
+                   "host_cpus": os.cpu_count(),
+                   "lynse_jax_platform": jax.default_backend()},
         "engines": results,
         "skipped_engines": skipped,
         "ratios_vs_same_host": {

@@ -324,6 +324,37 @@ def test_concurrent_hybrid_microbatch(server, rdb, rng, tmp_path):
     local.close()
 
 
+def test_hybrid_search_with_microbatching_disabled(tmp_path, rng):
+    """With micro-batching off (gather_ms < 0) /hybrid_search falls back to
+    the engine's own overlapped path and returns identical results."""
+    srv = BackgroundServer(str(tmp_path / "nomb"), port=0, microbatch_gather_ms=-1)
+    try:
+        c = lynse.VectorDBClient(srv.url)
+        db = c.create_database("d", drop_if_exists=True)
+        coll = db.require_collection("c", dim=8)
+        vecs = rng.normal(size=(30, 8)).astype(np.float32)
+        words = ["alpha", "beta"]
+        coll.add(list(range(30)), vectors=vecs,
+                 fields=[{"doc": f"{words[i % 2]} row {i}"} for i in range(30)])
+        coll.commit()
+
+        local = lynse.VectorDBClient(str(tmp_path / "nomb_mirror"))
+        lcoll = local.create_database("d").require_collection("c", dim=8)
+        lcoll.add(list(range(30)), vectors=vecs,
+                  fields=[{"doc": f"{words[i % 2]} row {i}"} for i in range(30)])
+        lcoll.commit()
+
+        for i in (0, 1, 7):
+            got = coll.hybrid_search(vector=vecs[i], text=words[i % 2], k=5)
+            want = lcoll.hybrid_search(vecs[i], words[i % 2], k=5)
+            assert got.ids.tolist() == want.ids.tolist(), i
+        assert srv.server.microbatch_stats["queries"] == 0  # batcher unused
+        local.close()
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_prewarm_route(rdb, rng):
     coll = rdb.require_collection("cpw", dim=8, drop_if_exists=True)
     coll.add(list(range(50)), vectors=rng.normal(size=(50, 8)).astype(np.float32))

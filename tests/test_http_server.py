@@ -324,6 +324,40 @@ def test_concurrent_hybrid_microbatch(server, rdb, rng, tmp_path):
     local.close()
 
 
+def test_concurrent_mixed_ops_stress(rdb, rng):
+    """Server stress: concurrent hybrid searches, plain searches, adds and
+    commits on one collection never error and never return stale shapes —
+    the micro-batcher must stay consistent across write epochs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    coll = rdb.require_collection("stress", dim=12, drop_if_exists=True)
+    vecs = rng.normal(size=(400, 12)).astype(np.float32)
+    coll.add(list(range(200)), vectors=vecs[:200],
+             fields=[{"doc": f"w{i % 5} row"} for i in range(200)])
+    coll.commit()
+
+    def op(i):
+        kind = i % 4
+        if kind == 0:
+            res = coll.search(vecs[i % 200], k=5)
+            assert len(res.ids) == 5
+        elif kind == 1:
+            res = coll.hybrid_search(vector=vecs[i % 200], text=f"w{i % 5}", k=5)
+            assert len(res.ids) == 5
+        elif kind == 2:
+            base = 200 + (i % 50) * 4
+            coll.add(list(range(base, base + 4)), vectors=vecs[base % 400: base % 400 + 4])
+        else:
+            coll.commit()
+        return True
+
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        assert all(pool.map(op, range(80)))
+    coll.commit()
+    res = coll.search(vecs[0], k=10)
+    assert len(res.ids) == 10
+
+
 def test_hybrid_search_with_microbatching_disabled(tmp_path, rng):
     """With micro-batching off (gather_ms < 0) /hybrid_search falls back to
     the engine's own overlapped path and returns identical results."""

@@ -97,17 +97,21 @@ def bench_lynse(x, q, gt):
         got = [coll.search(qi, k=K).ids for qi in q]
         seq_ms = (time.perf_counter() - t0) / len(q) * 1e3
         rec = recall_at_k(np.array([np.pad(g, (0, K - len(g)), constant_values=-1) for g in got]), gt)
-        # pipelined stream
+        # pipelined stream — perturbed rep so the engine's SearchCache can't
+        # serve the timed pass from the warm pass (cache-proof QPS)
         coll.search_stream(q, k=K)
+        q_rep = (q + np.float32(1e-3)).astype(np.float32)
         t0 = time.perf_counter()
-        coll.search_stream(q, k=K)
+        coll.search_stream(q_rep, k=K)
         stream_ms = (time.perf_counter() - t0) / len(q) * 1e3
-        # batch
+        # batch — distinct per-rep batches for the same reason
         b = min(64, len(q))
         coll.batch_search(q[:b], k=K)
+        reps = [(q[:b] + np.float32(1e-3) * (r + 1)).astype(np.float32)
+                for r in range(3)]
         t0 = time.perf_counter()
-        for _ in range(3):
-            coll.batch_search(q[:b], k=K)
+        for qr in reps:
+            coll.batch_search(qr, k=K)
         batch_qps = b / ((time.perf_counter() - t0) / 3)
         client.close()
     return {

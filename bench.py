@@ -296,13 +296,18 @@ def main() -> None:
             from concurrent.futures import ThreadPoolExecutor
 
             n_req, workers = 200, 16
+            # every request gets a DISTINCT vector (per-i perturbation):
+            # i % N_QUERIES repeats would let the server's SearchCache serve
+            # half the load and inflate the concurrent QPS
+            conc_q = (queries[np.arange(n_req) % N_QUERIES]
+                      + np.float32(1e-3) * np.arange(n_req)[:, None]).astype(np.float32)
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(  # warm the coalesced executable
-                    lambda i: hcoll.search(queries[i % N_QUERIES], k=K),
+                    lambda i: hcoll.search(conc_q[i] + np.float32(0.5), k=K),
                     range(workers)))
                 t0 = time.perf_counter()
                 list(pool.map(
-                    lambda i: hcoll.search(queries[i % N_QUERIES], k=K),
+                    lambda i: hcoll.search(conc_q[i], k=K),
                     range(n_req)))
                 conc_s = time.perf_counter() - t0
             log(f"HTTP concurrent search (100k, {workers} threads): "

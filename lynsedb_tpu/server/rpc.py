@@ -113,10 +113,14 @@ class _RpcSearchBatcher:
                     continue
                 for i, (_, fut) in enumerate(batch):
                     if not fut.done():
+                        # batch rows are rectangular (-1 padded when a row
+                        # found < k); strip pads like Collection.search does
+                        ids_i = np.asarray(res.ids[i])
+                        live = ids_i >= 0
                         fut.set_result(
                             type(res)(
-                                ids=res.ids[i],
-                                distances=res.distances[i],
+                                ids=ids_i[live],
+                                distances=np.asarray(res.distances[i])[live],
                                 distance_metric=res.distance_metric,
                                 index_type=res.index_type,
                             )

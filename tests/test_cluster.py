@@ -392,6 +392,48 @@ def test_rpc_search_microbatch(tmp_path_factory, rng):
         srv.stop()
 
 
+def test_rpc_search_microbatch_strips_pads(tmp_path_factory, rng):
+    """A coalesced SEARCH whose row finds < k hits returns exactly the live
+    hits. Rectangular -1 pads (possible when per-row live counts diverge,
+    e.g. graph beams) are stripped like Collection.search / the HTTP
+    micro-batcher do, never mapped through the id map onto the wire."""
+    import numpy as np
+
+    from lynsedb_tpu.server.rpc import RpcClient, decode_search_response
+
+    srv = BackgroundServer(str(tmp_path_factory.mktemp("rpcpad") / "s"), port=0)
+    try:
+        vecs = rng.normal(size=(12, 8)).astype(np.float32)
+        requests.post(srv.url + "/create_database", json={"database_name": "d"}, timeout=10)
+        requests.post(srv.url + "/required_collection",
+                      json={"database_name": "d", "collection_name": "c", "dim": 8}, timeout=10)
+        # ids {0..3} carry grp=1: 4 passing rows is > 1/4 of the corpus (so
+        # the filter takes the masked-scan path, not the gather path) yet
+        # < k=5, so the fused batch row comes back -1-padded to k
+        requests.post(srv.url + "/add", json={
+            "database_name": "d", "collection_name": "c",
+            "ids": list(range(12)), "vectors": vecs.tolist(),
+            "fields": [{"grp": 1 if i < 4 else 0} for i in range(12)],
+        }, timeout=30)
+        requests.post(srv.url + "/commit",
+                      json={"database_name": "d", "collection_name": "c"}, timeout=30)
+        base = {"database_name": "d", "collection_name": "c", "dim": 8}
+        rpc = RpcClient()
+        try:
+            meta, payload = rpc.call(
+                srv.host, srv.rpc_port,
+                {**base, "op": "SEARCH", "k": 5, "where": '"grp" = 1'},
+                vecs[0].tobytes())
+            ids, dists = decode_search_response(meta, payload)
+        finally:
+            rpc.close()
+        want = sorted([0, 1, 2, 3], key=lambda i: -(vecs[0] @ vecs[i]))
+        assert ids == want
+        assert len(dists) == 4
+    finally:
+        srv.stop()
+
+
 def test_coordinator_rides_rpc_plane(cluster, rng):
     """Coordinator reads go over pooled TCP RPC when the shards' derived RPC
     ports answer — not the HTTP fallback."""

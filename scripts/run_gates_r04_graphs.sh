@@ -6,6 +6,9 @@
 # rows come from the single run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# write atomically so a mid-run failure can't truncate rows a prior
+# (e.g. CPU-fallback) run already recorded
 python benchmarks/gate_index_modes.py --sift benchmarks/data/synth_sift_1m \
   --n 1000000 --queries 100 \
-  --modes HNSW-IP DISKANN-IP | tee GATES_r04_graphs.jsonl
+  --modes HNSW-IP DISKANN-IP | tee GATES_r04_graphs.jsonl.tmp
+mv GATES_r04_graphs.jsonl.tmp GATES_r04_graphs.jsonl

@@ -70,6 +70,7 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    import jax  # platform already pinned above; used for the JSON platform tag
     import lynsedb_tpu as lynse
 
     if _PLATFORM_NOTE:
@@ -332,6 +333,9 @@ def main() -> None:
                 "value": round(mean_ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_SEARCH_MS / mean_ms, 3),
+                # which backend actually ran — a dead-tunnel CPU fallback
+                # must never read as a TPU recording
+                "platform": jax.default_backend(),
             }
         )
     )

@@ -58,12 +58,18 @@ def run_bench() -> dict:
         if m:
             out[name] = float(m.group(1).replace(",", ""))
     out["bench_n"] = int(env["BENCH_N"])
-    try:
-        import jax
-
-        out["platform"] = jax.default_backend()
-    except Exception:
-        out["platform"] = "unknown"
+    # take the platform from the child bench's own JSON line: importing jax
+    # here would initialize the device plugin in THIS process (a dead tunnel
+    # wedges it), and the child may have fallen back to CPU independently
+    out["platform"] = "unknown"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "platform" in rec:
+            out["platform"] = rec["platform"]
+            break
     return out
 
 

@@ -82,6 +82,7 @@ def main() -> None:
     ap.add_argument("--modes", nargs="*", help="subset of modes to gate")
     args = ap.parse_args()
 
+    import jax  # after lynse pins/resolves the platform; used to tag rows
     import lynsedb_tpu as lynse
 
     rng = np.random.default_rng(0)
@@ -140,6 +141,9 @@ def main() -> None:
                         "status": status,
                         "build_s": round(build_s, 2),
                         "search_ms": round(search_ms, 3),
+                        # recall is backend-independent; timings are not —
+                        # label which backend produced this row
+                        "platform": jax.default_backend(),
                     }
                 ),
                 flush=True,

@@ -45,6 +45,42 @@ from .result_view import ResultView  # noqa: F401
 
 MAX_DATABASES = 64
 
+# In-process manager cache keyed by (resolved root, read_only), refcounted:
+# a second VectorDBClient on the same root shares the live DatabaseManager
+# instead of colliding on the exclusive .manager.lock (reference:
+# python/lynse/_backend.py:88 caches managers the same way). close()
+# releases the lock only when the last client sharing the manager closes.
+import threading as _threading
+
+_MANAGER_CACHE: dict = {}
+_MANAGER_CACHE_LOCK = _threading.Lock()
+
+
+def _acquire_manager(root_path: str, read_only: bool):
+    from .engine.database import DatabaseManager
+
+    key = (root_path, bool(read_only))
+    with _MANAGER_CACHE_LOCK:
+        entry = _MANAGER_CACHE.get(key)
+        if entry is not None:
+            entry["refs"] += 1
+            return entry["manager"]
+        manager = DatabaseManager(root_path, read_only=read_only)
+        _MANAGER_CACHE[key] = {"manager": manager, "refs": 1}
+        return manager
+
+
+def _release_manager(manager) -> None:
+    with _MANAGER_CACHE_LOCK:
+        for key, entry in list(_MANAGER_CACHE.items()):
+            if entry["manager"] is manager:
+                entry["refs"] -= 1
+                if entry["refs"] <= 0:
+                    del _MANAGER_CACHE[key]
+                    manager.close()
+                return
+    manager.close()  # not cached (shouldn't happen) — close directly
+
 
 class VectorDBClient:
     """Entry-point client.
@@ -83,7 +119,6 @@ class VectorDBClient:
             self._session = session
         else:
             from .configs.config import config
-            from .engine.database import DatabaseManager
 
             root_path = (
                 str(Path(uri).resolve()) if uri is not None else str(config.LYNSE_DEFAULT_ROOT_PATH)
@@ -91,7 +126,7 @@ class VectorDBClient:
             self._uri = None
             self._root_path = root_path
             self._session = None
-            self._manager = DatabaseManager(root_path, read_only=read_only)
+            self._manager = _acquire_manager(root_path, read_only)
 
     @property
     def is_read_only(self) -> bool:
@@ -207,7 +242,7 @@ class VectorDBClient:
         if self._is_remote:
             self._session.close()
         elif self._manager is not None:
-            self._manager.close()
+            _release_manager(self._manager)
             self._manager = None
 
     def __repr__(self):

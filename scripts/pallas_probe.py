@@ -53,16 +53,24 @@ def main() -> None:
     x16.block_until_ready()
 
     def xla_pass(q):
+        # contract on dim 1 directly (the production ops/scan.py layout) —
+        # x16.T here would materialize a second corpus-sized transpose
+        # every iteration and bench the copy, not the scan
         qc = (q - aux["mean"][None, :]).astype(jnp.bfloat16)
         ip = jax.lax.dot_general(
-            qc, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            qc, x16, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + aux["xm"][None, :]
         d, i = masked_top_c(ip, C, False, valid)
         return d
 
+    # call the unjitted body inside the fori_loop: the nested-jit
+    # closed_call lowering crashes (KeyError in mlir lowering cache) when a
+    # jitted pallas_call wrapper is invoked from a loop body on this JAX
+    _first_pass_raw = getattr(first_pass_topc, "__wrapped__", first_pass_topc)
+
     def pallas_pass(q):
-        d, i = first_pass_topc(q, x16, aux, valid, metric=Metric.IP, c=C,
+        d, i = _first_pass_raw(q, x16, aux, valid, metric=Metric.IP, c=C,
                                ascending=False)
         return d
 

@@ -5,18 +5,27 @@ Reference match: src/storage/flat_mmap.rs:1173 exact_flat_search /
 per-thread top-k so candidate distances never round-trip through memory.
 
 The XLA path (ops/scan.py bf16_pass_ids) materializes the (B, N) score
-matrix to HBM between the matmul and the top-k: on-device loop timings at
-1M x 128 / B=256 show ~1.9 ms/scan, which is ~745 GB/s of aggregate HBM
-traffic (corpus read + score write + score read) — bandwidth-bound on the
-*score* traffic, not the corpus. This kernel keeps each (B, TILE_N) score
-tile in VMEM, reduces it to a per-tile top-C immediately, and only the
-(n_tiles, B, C) candidates ever touch HBM, so the scan's HBM traffic drops
-to ~the corpus bytes — a ~5x device-time ceiling raise at large B.
+matrix between the matmul and the PartialReduce: measured on-device at
+1M x 128 / B=256 it runs ~6.5 ms/scan with indices (39 GB/s effective
+corpus bandwidth, benchmarks/xla_scan_variants_r04.log) — ~20x off the
+HBM speed-of-light 0.32 ms. This kernel keeps each (B, TILE_N) score tile
+in VMEM and reduces it immediately, so the scan's HBM traffic drops to
+~the corpus bytes.
+
+In-kernel selection: ``jax.lax.top_k`` has NO Mosaic-TPU lowering on this
+JAX (NotImplementedError: "Unimplemented primitive ... top_k",
+benchmarks/pallas_probe_r04.log), so the kernel selects via R rounds of
+bucketed max-extraction over 128-lane buckets — max, first-argmax (via
+min-over-iota), mask, repeat — all mosaic-supported primitives. Each tile
+emits the top-R of every 128-row bucket (NB*R >= C candidates); a true
+top-k item is lost only if >R better candidates share its 128-row bucket
+(p ~ (k choose R+1) / (N/128)^R — negligible at shortlist sizes), and the
+shortlist feeds an exact rescore, so end-to-end recall stays at the
+exact-flat gate floor.
 
 Enable with LYNSE_TPU_PALLAS=1 (TPU backend only; the XLA path remains the
-default until perf is validated on directly-attached hardware — the dev
-tunnel here cannot time sub-ms kernels reliably). Correctness is gated in
-CI via interpret mode on CPU (tests/test_pallas_scan.py).
+default until perf is validated on hardware). Correctness is gated in CI
+via interpret mode on CPU (tests/test_pallas_scan.py).
 """
 
 from __future__ import annotations
@@ -38,9 +47,10 @@ from .topk import merge_top_k
 
 _NEG = float("-inf")  # plain float: jnp constants can't be captured by kernels
 
-# (TILE_N, 128) bf16 tile = 2 MB VMEM + (B, TILE_N) f32 scores; B<=256 keeps
-# the working set inside the ~16 MB VMEM budget with double buffering.
+# (TILE_N, 128) bf16 tile = 2 MB VMEM + a (B, TILE_N) f32 score tile; at
+# B<=256 the working set stays inside the VMEM budget with double buffering.
 TILE_N = 8192
+BUCKET_W = 128  # selection bucket = one lane group
 
 
 def use_pallas() -> bool:
@@ -50,8 +60,35 @@ def use_pallas() -> bool:
     )
 
 
+def _bucket_topr(keyed: jnp.ndarray, rounds: int):
+    """(B, T) descending-key scores -> (vals (B, NB*rounds), pos (B, NB*rounds))
+    where NB = T // BUCKET_W: the top-``rounds`` of every 128-lane bucket,
+    selected with mosaic-supported primitives only (max / min reduces,
+    compares, selects, broadcasted_iota — lax.top_k has no TPU lowering)."""
+    b, t = keyed.shape
+    nb = t // BUCKET_W
+    s = keyed.reshape(b, nb, BUCKET_W)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, nb, BUCKET_W), 2)
+    bucket = jax.lax.broadcasted_iota(jnp.int32, (b, nb), 1)
+    vals, ids = [], []
+    for _ in range(rounds):
+        m = jnp.max(s, axis=2)  # (B, NB)
+        is_max = s == m[:, :, None]
+        # first argmax: min lane index among the maxima (ties break low,
+        # matching lax.top_k's deterministic tie rule)
+        pos = jnp.min(jnp.where(is_max, lane, BUCKET_W), axis=2)  # (B, NB)
+        vals.append(m)
+        ids.append(bucket * BUCKET_W + jnp.where(pos < BUCKET_W, pos, 0))
+        s = jnp.where(lane == pos[:, :, None], _NEG, s)
+    return (
+        jnp.concatenate(vals, axis=1),
+        jnp.concatenate(ids, axis=1),
+    )
+
+
 def _scan_kernel(qc_ref, qmeta_ref, xm_ref, xcsq_ref, xsqt_ref, valid_ref,
-                 x_ref, d_ref, i_ref, *, metric: Metric, c: int, ascending: bool):
+                 x_ref, d_ref, i_ref, *, metric: Metric, rounds: int,
+                 ascending: bool):
     """``x_ref`` holds MEAN-CENTERED bf16 rows (see ops/scan.py
     _bf16_scores); per-row rank-1 corrections restore true-metric ranking.
     ``qc_ref``: centered queries; ``qmeta_ref``: (B, 2) [q.mean, |q|^2]."""
@@ -75,10 +112,10 @@ def _scan_kernel(qc_ref, qmeta_ref, xm_ref, xcsq_ref, xsqt_ref, valid_ref,
         scores = jnp.where(denom < 1e-30, 1.0, 1.0 - num / jnp.maximum(denom, 1e-30))
     keyed = -scores if ascending else scores
     keyed = jnp.where(valid_ref[:, 0][None, :] > 0, keyed, _NEG)
-    top, idx = jax.lax.top_k(keyed, c)  # per-tile top-C, scores never leave VMEM
+    top, idx = _bucket_topr(keyed, rounds)  # scores never leave VMEM
     d_ref[0] = jnp.where(top > _NEG, -top if ascending else top,
                          float("inf") if ascending else _NEG)
-    i_ref[0] = idx.astype(jnp.int32) + t * TILE_N
+    i_ref[0] = idx + t * TILE_N
 
 
 @partial(jax.jit, static_argnames=("metric", "c", "ascending", "interpret"))
@@ -100,8 +137,14 @@ def first_pass_topc(
     if n_pad % TILE_N != 0:
         raise ValueError(f"corpus rows {n_pad} not a multiple of {TILE_N}")
     grid = n_pad // TILE_N
-    c_tile = min(c, TILE_N)
-    kernel = partial(_scan_kernel, metric=metric, c=c_tile, ascending=ascending)
+    nb = TILE_N // BUCKET_W
+    # +1 round of safety margin over ceil(c/nb): a tile emits NB*rounds
+    # bucketed candidates, so >R-per-bucket collisions cannot starve the
+    # global shortlist
+    rounds = min(max(2, -(-min(c, TILE_N) // nb) + 1), BUCKET_W)
+    c_tile = nb * rounds
+    kernel = partial(_scan_kernel, metric=metric, rounds=rounds,
+                     ascending=ascending)
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -148,7 +191,7 @@ def first_pass_topc(
         valid.astype(jnp.int8).reshape(n_pad, 1),
         x16,
     )
-    # (grid, B, C) -> (B, grid*C) cross-tile merge
+    # (grid, B, C_tile) -> (B, grid*C_tile) cross-tile merge
     dd = jnp.moveaxis(d_tiles, 0, 1).reshape(b, grid * c_tile)
     ii = jnp.moveaxis(i_tiles, 0, 1).reshape(b, grid * c_tile)
     return merge_top_k(dd, ii, min(c, n_pad), ascending)

@@ -111,6 +111,8 @@ def _scan_kernel(qc_ref, qmeta_ref, xm_ref, xcsq_ref, xsqt_ref, valid_ref,
         denom = jnp.sqrt(qmeta_ref[:, 1][:, None] * xsqt_ref[:, 0][None, :])
         scores = jnp.where(denom < 1e-30, 1.0, 1.0 - num / jnp.maximum(denom, 1e-30))
     keyed = -scores if ascending else scores
+    # valid arrives as i32: Mosaic on v5e rejects sub-word (i8) vector
+    # compares ("Target does not support this comparison", arith.cmpi i8)
     keyed = jnp.where(valid_ref[:, 0][None, :] > 0, keyed, _NEG)
     top, idx = _bucket_topr(keyed, rounds)  # scores never leave VMEM
     d_ref[0] = jnp.where(top > _NEG, -top if ascending else top,
@@ -188,7 +190,7 @@ def first_pass_topc(
         aux["xm"].reshape(n_pad, 1),
         aux["xc_sq"].reshape(n_pad, 1),
         aux["xsq_true"].reshape(n_pad, 1),
-        valid.astype(jnp.int8).reshape(n_pad, 1),
+        valid.astype(jnp.int32).reshape(n_pad, 1),
         x16,
     )
     # (grid, B, C_tile) -> (B, grid*C_tile) cross-tile merge

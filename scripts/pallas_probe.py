@@ -52,17 +52,15 @@ def main() -> None:
     valid = jnp.ones(n_pad, dtype=bool)
     x16.block_until_ready()
 
-    def xla_pass(q):
-        # the production ops/scan.py formulation: contract via x16.T —
-        # measured FASTER than the direct dim-1 contraction when fused
-        # with an indexed PartialReduce (1.85 ms vs 23 ms at B=256,
-        # benchmarks/xla_scan_variants_r04.log)
-        qc = (q - aux["mean"][None, :]).astype(jnp.bfloat16)
+    def xla_pass(q, xarr, auxt, validt):
+        # the production ops/scan.py formulation: contract via x16.T,
+        # masked_top_c selection (same epilogue as bf16_pass_ids)
+        qc = (q - auxt["mean"][None, :]).astype(jnp.bfloat16)
         ip = jax.lax.dot_general(
-            qc, x16.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            qc, xarr.T, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + aux["xm"][None, :]
-        d, i = masked_top_c(ip, C, False, valid)
+        ) + auxt["xm"][None, :]
+        d, i = masked_top_c(ip, C, False, validt)
         return d
 
     # call the unjitted body inside the fori_loop: the nested-jit
@@ -70,21 +68,28 @@ def main() -> None:
     # jitted pallas_call wrapper is invoked from a loop body on this JAX
     _first_pass_raw = getattr(first_pass_topc, "__wrapped__", first_pass_topc)
 
-    def pallas_pass(q):
-        d, i = _first_pass_raw(q, x16, aux, valid, metric=Metric.IP, c=C,
+    def pallas_pass(q, xarr, auxt, validt):
+        d, i = _first_pass_raw(q, xarr, auxt, validt, metric=Metric.IP, c=C,
                                ascending=False)
         return d
 
     def make_loop(fn):
+        # x16/aux/valid MUST be jit arguments, not closure captures: the
+        # pallas_call lowering embeds captured device constants as MLIR
+        # dense literals, so a 1M bf16 corpus blows the tunnel's
+        # remote_compile body limit (observed HTTP 413; code_len tracked
+        # corpus bytes at 131k)
         def step(it, carry):
-            q, acc = carry
+            q, xarr, auxt, validt, acc = carry
             qi = q + (it.astype(jnp.float32) * 1e-3)
-            return (q, acc + fn(qi)[:, :8])
+            return (q, xarr, auxt, validt, acc + fn(qi, xarr, auxt, validt)[:, :8])
 
         @jax.jit
-        def run(q):
-            _, acc = jax.lax.fori_loop(
-                0, ITERS, step, (q, jnp.zeros((q.shape[0], 8), jnp.float32)))
+        def run(q, xarr, auxt, validt):
+            *_, acc = jax.lax.fori_loop(
+                0, ITERS, step,
+                (q, xarr, auxt, validt,
+                 jnp.zeros((q.shape[0], 8), jnp.float32)))
             return acc
 
         return run
@@ -93,10 +98,10 @@ def main() -> None:
     for name, fn in (("xla", xla_pass), ("pallas", pallas_pass)):
         run = make_loop(fn)
         t0 = time.perf_counter()
-        np.asarray(run(q))
+        np.asarray(run(q, x16, aux, valid))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(run(q + 1.0))
+        np.asarray(run(q + 1.0, x16, aux, valid))
         wall = time.perf_counter() - t0
         bw = n_pad * D * 2 * ITERS / wall / 1e9
         print(f"B={B} {name:7s}: {wall / ITERS * 1e3:8.3f} ms/scan "

@@ -9,6 +9,7 @@ Usage: python scripts/pallas_probe.py [N] [B] [ITERS]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -95,7 +96,14 @@ def main() -> None:
         return run
 
     q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    # PALLAS_PROBE_VARIANTS=pallas (or xla) runs one leg only — the Mosaic
+    # compile through the tunnel can exceed a whole A/B run's budget, so
+    # legs are resumable (the persistent compile cache carries the result
+    # into the next full run)
+    want = os.environ.get("PALLAS_PROBE_VARIANTS", "xla,pallas").split(",")
     for name, fn in (("xla", xla_pass), ("pallas", pallas_pass)):
+        if name not in want:
+            continue
         run = make_loop(fn)
         t0 = time.perf_counter()
         np.asarray(run(q, x16, aux, valid))

@@ -13,6 +13,7 @@ Usage: python scripts/topc_epilogue_variants.py [N] [B] [ITERS]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -75,6 +76,13 @@ def main() -> None:
         "mask95": sel_mask95,
         "mask99": sel_mask99,
     }
+    order = os.environ.get("TOPC_ORDER")
+    if order:
+        names = [t.strip() for t in order.split(",") if t.strip()]
+        unknown = [n for n in names if n not in variants]
+        if unknown:
+            raise SystemExit(f"unknown TOPC_ORDER variants: {unknown}")
+        variants = {n: variants[n] for n in names}
 
     def make_loop(sel):
         def step(it, carry):
@@ -99,13 +107,14 @@ def main() -> None:
         t0 = time.perf_counter()
         np.asarray(run(q, x16, xm, valid))
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(run(q + 1.0, x16, xm, valid))
-        wall = time.perf_counter() - t0
-        bw = n_pad * D * 2 * ITERS / wall / 1e9
-        print(f"B={B} {name:8s}: {wall / ITERS * 1e3:8.3f} ms/scan "
-              f"(corpus bw {bw:7.1f} GB/s, compile+1st {compile_s:.1f}s)",
-              flush=True)
+        for rep in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(q + np.float32(1.0 + rep), x16, xm, valid))
+            wall = time.perf_counter() - t0
+            bw = n_pad * D * 2 * ITERS / wall / 1e9
+            print(f"B={B} {name:8s} rep{rep}: {wall / ITERS * 1e3:8.3f} ms/scan "
+                  f"(corpus bw {bw:7.1f} GB/s, compile+1st {compile_s:.1f}s)",
+                  flush=True)
 
 
 if __name__ == "__main__":

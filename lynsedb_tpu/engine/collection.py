@@ -785,6 +785,38 @@ class Collection:
                 self._search_cache.put(cache_key, out)
             return out
 
+    def batch_search_submit(self, vectors, k: int = 10, *, where: Optional[str] = None):
+        """Async flat-path batched dispatch: returns a zero-arg resolver
+        producing the same SearchResult as :meth:`batch_search`, or None
+        when an index/aux path (or empty collection) requires the
+        synchronous path. The server's micro-batcher uses this to keep two
+        engine dispatches in flight so one window's D2H fetch overlaps the
+        next window's scan (the tunnel pays ~33 ms per fetch,
+        benchmarks/dispatch_floor_r05.log)."""
+        self._check_open()
+        if self._index is not None or self._aux_index is not None or self.n_rows == 0:
+            return None
+        with self._lock:
+            q = np.ascontiguousarray(np.atleast_2d(vectors), dtype=np.float32)
+            if self.dim is not None and q.shape[1] != self.dim:
+                raise DimensionMismatch(f"query dim {q.shape[1]} != collection dim {self.dim}")
+            metric = self.metric
+            if not metric.accepts_dimension(q.shape[1]):
+                raise InvalidArgument(f"metric {metric.value} rejects dim {q.shape[1]}")
+            handle = self.resolve_filter(where)
+            resolver = self.corpus().search_submit(q, k, metric, filter_mask=handle)
+
+        def resolve() -> SearchResult:
+            dists, ids = resolver()
+            return SearchResult(
+                ids=ids,
+                distances=dists,
+                distance_metric=metric.display_name,
+                index_type=self.index_type,
+            )
+
+        return resolve
+
     def _flat_search_submit(self, vector, k: int, where: Optional[str]):
         """Async flat-path single-query dispatch: returns a zero-arg resolver
         producing a SearchResult, or None when an index path (or empty
@@ -843,6 +875,14 @@ class Collection:
                         (corpus.stream_submit(qdev, 0, w, 10, metric), qz[:w]))
             for resolve, arg in resolvers:
                 resolve() if arg is None else resolve(arg)
+            # second pass: the first-compiled executable in a process stays
+            # ~25x slow on its first post-compile call and only reaches
+            # steady state on the next (benchmarks/topc_epilogue_r05.log) —
+            # one extra warm call per bucket costs ~2 dispatch RTTs each
+            # and keeps the artifact off the first live queries
+            for b in (16, 64, 256):
+                qz = np.zeros((b, dim), np.float32)
+                corpus.search_submit(qz, 10, metric)()
             return time.perf_counter() - t0
 
     def search_stream(

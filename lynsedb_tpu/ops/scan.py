@@ -114,6 +114,21 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _kick_d2h(arr) -> None:
+    """Start the device->host copy of a dispatched result immediately.
+
+    The tunnel's D2H fetch costs ~33 ms of round-trip latency per array
+    (benchmarks/dispatch_floor_r05.log) and np.asarray only starts it at
+    resolve time — serializing the fetch of window i with the scan of
+    window i+1 in pipelined streams. copy_to_host_async enqueues the
+    transfer right behind the compute in stream order, so by resolve time
+    the bytes are (mostly) already local. No-op where unsupported."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:  # noqa: BLE001 — an eager copy is only an optimization
+        pass
+
+
 def scan_chunk_size(metric: Metric, n_pad: int, batch: int = 1) -> int:
     if metric in MATMUL_METRICS:
         # Matmul metrics materialize only (B, N) scores: single-shot lets XLA
@@ -1121,6 +1136,7 @@ class DeviceCorpus:
                 qd, self._dev16, idx, idx_valid, self.bf16_aux(),
                 self.valid_mask(), metric=metric, k=c, ascending=ascending,
             )
+            _kick_d2h(out)
             subset = handle.indices
 
             def resolve_gather():
@@ -1139,6 +1155,7 @@ class DeviceCorpus:
             qd, self._dev16, self.bf16_aux(), valid,
             metric=metric, k=c, ascending=ascending, pallas=self._use_pallas(),
         )
+        _kick_d2h(out)
 
         def resolve():
             ids = np.asarray(out).astype(np.int64)
@@ -1172,6 +1189,7 @@ class DeviceCorpus:
             metric=metric, k=c, ascending=metric.ascending, window=window,
             pallas=self._use_pallas(),
         )
+        _kick_d2h(out)
 
         def resolve(q_rows: np.ndarray):
             ids = np.asarray(out).astype(np.int64)
@@ -1275,6 +1293,7 @@ class DeviceCorpus:
             )
             if bi % 2 == 1:
                 np.asarray(state[:1, :1])  # backpressure: cap queued blocks
+        _kick_d2h(state)
 
         def resolve():
             proxy, ids = unpack_search_step(np.asarray(state))
@@ -1293,6 +1312,7 @@ class DeviceCorpus:
             _put(q, self._repl_sharding()), ct, valid, metric=metric, k=min(k, self.n_pad),
             chunk=chunk, ascending=metric.ascending,
         )
+        _kick_d2h(packed)
         ascending = metric.ascending
 
         def resolve():

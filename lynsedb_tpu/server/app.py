@@ -91,50 +91,87 @@ class _MicroBatcher:
             loop.create_task(self._drain())
         return await fut
 
+    def _fail(self, batch, e: Exception) -> None:
+        for _, fut in batch:
+            if not fut.done():
+                # shallow-copy per future so each handler re-raise gets its
+                # own __traceback__/__context__ instead of all futures
+                # mutating one shared instance — but copy.copy reconstructs
+                # via cls(*e.args) and raises TypeError for kwarg-only/
+                # multi-arg constructors; those fall back to the shared
+                # instance (never let the drain task die with futures
+                # unresolved)
+                try:
+                    err = copy.copy(e)
+                except Exception:  # noqa: BLE001
+                    err = e
+                fut.set_exception(err)
+
+    def _fan_out(self, batch, res) -> None:
+        for i, (_, fut) in enumerate(batch):
+            if not fut.done():
+                fut.set_result(
+                    type(res)(
+                        ids=res.ids[i],
+                        distances=res.distances[i],
+                        distance_metric=res.distance_metric,
+                        index_type=res.index_type,
+                    )
+                )
+
+    def _submit_eligible(self) -> bool:
+        # batch_search_submit serves the default-field flat path only; the
+        # index peek is advisory (submit re-checks under the engine lock
+        # and returns None, falling back to the synchronous path)
+        return (self.params.get("field_name", "default") == "default"
+                and not self.params.get("approx", False)
+                and hasattr(self.coll, "batch_search_submit")
+                and getattr(self.coll, "_index", None) is None
+                and getattr(self.coll, "_aux_index", None) is None)
+
     async def _drain(self) -> None:
         try:
             gather_s = self.server.microbatch_gather_ms / 1e3
             if gather_s > 0:
                 await asyncio.sleep(gather_s)
-            while self.pending:
-                batch, self.pending = self.pending, []
-                stats = self.server.microbatch_stats
-                stats["batches"] += 1
-                stats["queries"] += len(batch)
-                try:
-                    # inside the try: a stack/shape failure must fan out to
-                    # the waiting futures, never kill the drain task (hung
-                    # requests with no response)
-                    vecs = np.stack([v for v, _ in batch])
-                    res = await self.server._run(
-                        self.coll.batch_search, vecs, **self.params)
-                except Exception as e:  # noqa: BLE001 — fan the error out
-                    for _, fut in batch:
-                        if not fut.done():
-                            # shallow-copy per future so each handler
-                            # re-raise gets its own __traceback__/__context__
-                            # instead of all futures mutating one shared
-                            # instance — but copy.copy reconstructs via
-                            # cls(*e.args) and raises TypeError for
-                            # kwarg-only/multi-arg constructors; those fall
-                            # back to the shared instance (never let the
-                            # drain task die with futures unresolved)
-                            try:
-                                err = copy.copy(e)
-                            except Exception:  # noqa: BLE001
-                                err = e
-                            fut.set_exception(err)
+            # Up to TWO engine dispatches stay in flight: window i's fetch
+            # (~33 ms tunnel D2H, benchmarks/dispatch_floor_r05.log)
+            # overlaps window i+1's H2D + scan, so under sustained load the
+            # cycle time converges to max(fetch, scan) instead of their sum.
+            in_flight: list = []
+            while self.pending or in_flight:
+                if self.pending and len(in_flight) < 2:
+                    batch, self.pending = self.pending, []
+                    stats = self.server.microbatch_stats
+                    stats["batches"] += 1
+                    stats["queries"] += len(batch)
+                    try:
+                        # inside the try: a stack/shape failure must fan out
+                        # to the waiting futures, never kill the drain task
+                        # (hung requests with no response)
+                        vecs = np.stack([v for v, _ in batch])
+                        resolver = None
+                        if self._submit_eligible():
+                            resolver = await self.server._run(
+                                self.coll.batch_search_submit, vecs,
+                                self.params.get("k", 10),
+                                where=self.params.get("where"))
+                        if resolver is None:  # index/aux path: synchronous
+                            res = await self.server._run(
+                                self.coll.batch_search, vecs, **self.params)
+                            self._fan_out(batch, res)
+                        else:
+                            in_flight.append((batch, resolver))
+                    except Exception as e:  # noqa: BLE001 — fan the error out
+                        self._fail(batch, e)
                     continue
-                for i, (_, fut) in enumerate(batch):
-                    if not fut.done():
-                        fut.set_result(
-                            type(res)(
-                                ids=res.ids[i],
-                                distances=res.distances[i],
-                                distance_metric=res.distance_metric,
-                                index_type=res.index_type,
-                            )
-                        )
+                batch, resolver = in_flight.pop(0)
+                try:
+                    res = await self.server._run(resolver)
+                except Exception as e:  # noqa: BLE001
+                    self._fail(batch, e)
+                    continue
+                self._fan_out(batch, res)
         finally:
             self._draining = False
             if self.pending:  # raced arrivals after the while-check

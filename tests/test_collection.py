@@ -445,3 +445,34 @@ def test_profile_scanned_vectors_honest(db, rng):
     prof = coll.search_profile(data[0], k=5, nprobe=48)
     assert prof["index_path"] == "hnsw"
     assert 0 < prof["scanned_vectors"] < 6000  # visited nodes only
+
+
+def test_batch_search_submit_matches_sync(db, rng):
+    """The async flat-path resolver returns exactly what batch_search
+    returns (same ids, distances, metadata), honors where-filters, and
+    yields None once an index makes the synchronous path authoritative."""
+    coll = db.require_collection("bss", dim=16, drop_if_exists=True)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    coll.add(list(range(300)), vectors=vecs,
+             fields=[{"bucket": i % 3} for i in range(300)])
+    coll.commit()
+    eng = coll._engine
+    q = vecs[:7] + np.float32(0.01)
+
+    resolver = eng.batch_search_submit(q, 5)
+    assert resolver is not None
+    got = resolver()
+    want = eng.batch_search(q, 5)
+    np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(want.ids))
+    np.testing.assert_allclose(np.asarray(got.distances),
+                               np.asarray(want.distances), rtol=1e-6)
+    assert got.distance_metric == want.distance_metric
+    assert got.index_type == want.index_type
+
+    fil = eng.batch_search_submit(q, 5, where="bucket = 1")()
+    fil_want = eng.batch_search(q, 5, where="bucket = 1")
+    np.testing.assert_array_equal(np.asarray(fil.ids), np.asarray(fil_want.ids))
+    assert (np.asarray(fil.ids) % 3 == 1).all()
+
+    coll.build_index("IVF-IP", n_clusters=4)
+    assert eng.batch_search_submit(q, 5) is None

@@ -16,8 +16,7 @@ import numpy as np
 
 from ..metrics import Metric
 from ..ops import quantize as Q
-from ..ops.scan import rescore_rows
-from ..ops.topk import masked_top_k
+from ..ops.topk import masked_top_c
 from ..storage.vector_store import write_atomic
 
 OVERSAMPLE = {"sq8": 4, "pq": 8, "rabitq": 16, "polarvec": 8}
@@ -38,13 +37,23 @@ class AuxQuantIndex:
 
     @classmethod
     def build(cls, coll, mode, opts) -> "AuxQuantIndex":
+        import time
+
+        phases = {}
+        t0 = time.perf_counter()
         data = coll.store.read_all()
+        phases["read_s"] = round(time.perf_counter() - t0, 2)
         if data.shape[0] == 0:
             raise ValueError("cannot build a quantized index on an empty collection")
         kind = mode.quantizer
+        t0 = time.perf_counter()
         state = cls._fit_encode(kind, data, mode)
+        phases["encode_s"] = round(time.perf_counter() - t0, 2)
         idx = cls(coll, mode, opts, kind, state, data.shape[0])
+        t0 = time.perf_counter()
         idx.save(coll)
+        phases["save_s"] = round(time.perf_counter() - t0, 2)
+        idx.last_build_phases = phases  # build-cost attribution for gates
         return idx
 
     @staticmethod
@@ -160,55 +169,65 @@ class AuxQuantIndex:
             max(k * OVERSAMPLE[self.kind], 1024, n_codes // 250),
             n_codes, 16384,
         )
-        # code scan touches every encoded row; shortlist rows get exact rescored
+        # code scan touches every encoded row; shortlist rows get exact
+        # rescored. Shortlist selection rides approx_max_k like the flat
+        # two-pass (the exact re-rank + oversampling absorb its misses).
         self.last_scanned = n_codes + shortlist
-        _, cand = masked_top_k(scores, shortlist, metric.ascending, live)
-        cand_np = np.asarray(cand, dtype=np.int64)
+        _, cand = masked_top_c(scores, shortlist, metric.ascending, live)
+        cand_np = np.asarray(cand).astype(np.int64)
 
         # exact re-rank of shortlisted candidates from the f32 corpus
         exact = corpus.rescore(q, cand_np, metric)  # (B, shortlist)
-        keyed = np.where(np.isnan(exact), -np.inf, -exact if metric.ascending else exact)
 
         # exact-scanned tail for rows encoded after the last on_commit
-        extra_d, extra_i = None, None
         if n_codes < coll.n_rows:
             tail_mask = np.zeros(coll.n_rows, dtype=bool)
             tail_mask[n_codes:] = True
             if mask is not None:
                 tail_mask &= mask[: coll.n_rows]
             extra_d, extra_i = corpus.search(q, k, metric, filter_mask=tail_mask)
+            if extra_i.shape[1]:
+                exact = np.concatenate(
+                    [exact, np.where(extra_i >= 0, extra_d, np.nan)], axis=1)
+                cand_np = np.concatenate([cand_np, extra_i], axis=1)
 
-        out_d, out_i = [], []
-        for b in range(q.shape[0]):
-            pairs = [
-                (keyed[b, j], float(exact[b, j]), int(cand_np[b, j]))
-                for j in range(cand_np.shape[1])
-                if np.isfinite(keyed[b, j])
-            ]
-            if extra_i is not None:
-                for j in range(extra_i.shape[1]):
-                    rid = int(extra_i[b, j])
-                    if rid >= 0:
-                        d = float(extra_d[b, j])
-                        pairs.append((-d if metric.ascending else d, d, rid))
-            pairs.sort(key=lambda p: -p[0])
-            seen, dd, ii = set(), [], []
-            for _, d, rid in pairs:
-                if rid in seen:
-                    continue
-                seen.add(rid)
-                dd.append(d)
-                ii.append(rid)
-                if len(ii) >= k:
+        # vectorized merge: stable best-first order with id tiebreak, then
+        # dedup (a tail row can also appear in the shortlist) and trim to k
+        keyed = np.where(np.isnan(exact), -np.inf, -exact if metric.ascending else exact)
+        keyed = np.where(cand_np >= 0, keyed, -np.inf)
+        safe = np.where(cand_np >= 0, cand_np, np.iinfo(np.int64).max)
+        order = np.lexsort((safe, -keyed), axis=1)
+        d_s = np.take_along_axis(exact, order, axis=1)
+        i_s = np.take_along_axis(cand_np, order, axis=1)
+        k_s = np.take_along_axis(keyed, order, axis=1)
+        # drop duplicate ids (sorted by key then id, so equal ids with equal
+        # exact scores are adjacent only when keys tie; guard generally by
+        # masking any id seen earlier in the row)
+        b_n, w = i_s.shape
+        dup = np.zeros_like(k_s, dtype=bool)
+        srt = np.sort(np.where(k_s > -np.inf, i_s, -1), axis=1)
+        # mark rows that contain duplicates; only those pay the python path
+        has_dup = (np.diff(srt, axis=1) == 0).any(axis=1)
+        for b in np.nonzero(has_dup)[0]:
+            seen: set = set()
+            for j in range(w):
+                rid = int(i_s[b, j])
+                if k_s[b, j] == -np.inf:
                     break
-            out_d.append(dd)
-            out_i.append(ii)
-        width = max((len(x) for x in out_i), default=0)
-        d_arr = np.zeros((q.shape[0], width), dtype=np.float32)
-        i_arr = np.full((q.shape[0], width), -1, dtype=np.int64)
-        for b in range(q.shape[0]):
-            d_arr[b, : len(out_d[b])] = out_d[b]
-            i_arr[b, : len(out_i[b])] = out_i[b]
+                if rid in seen:
+                    dup[b, j] = True
+                else:
+                    seen.add(rid)
+        k_s = np.where(dup, -np.inf, k_s)
+        keep = k_s > -np.inf
+        if dup.any():  # recompact after dedup
+            order2 = np.argsort(~keep, axis=1, kind="stable")
+            d_s = np.take_along_axis(d_s, order2, axis=1)
+            i_s = np.take_along_axis(i_s, order2, axis=1)
+            keep = np.take_along_axis(keep, order2, axis=1)
+        width = min(k, int(keep.sum(axis=1).max(initial=0)))
+        d_arr = np.where(keep, d_s, 0.0)[:, :width].astype(np.float32)
+        i_arr = np.where(keep, i_s, -1)[:, :width]
         return d_arr, i_arr
 
     # ── lifecycle ────────────────────────────────────────────────────────

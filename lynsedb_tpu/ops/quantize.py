@@ -66,14 +66,45 @@ def rotate(x: np.ndarray | jnp.ndarray, signs: np.ndarray, dim_pad: int) -> jnp.
     return fwht(x * jnp.asarray(signs))
 
 
+def rotate_host(x: np.ndarray, signs: np.ndarray, dim_pad: int) -> np.ndarray:
+    """Numpy twin of :func:`rotate` for BUILD-time encoding of large
+    corpora: a million-row rotation is log2(D) vectorized passes on the
+    host, while routing it through the device costs a full H2D+D2H of the
+    corpus (hundreds of seconds through a tunnel) for no benefit."""
+    x = np.asarray(x, dtype=np.float32)
+    pad = dim_pad - x.shape[-1]
+    if pad:
+        x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    x = x * signs
+    d = x.shape[-1]
+    h = 1
+    while h < d:
+        x = x.reshape(x.shape[:-1] + (d // (2 * h), 2, h))
+        a = x[..., 0, :]
+        b = x[..., 1, :]
+        x = np.concatenate([a + b, a - b], axis=-1).reshape(x.shape[:-3] + (d,))
+        h *= 2
+    return x / np.sqrt(np.float32(d))
+
+
 def _int8_dot(a_f32: jnp.ndarray, codes_i8_t: jnp.ndarray) -> jnp.ndarray:
-    """f32 (B, D) x int8 (D, N) with f32 accumulation on the MXU."""
-    return jax.lax.dot_general(
-        a_f32,
-        codes_i8_t.astype(jnp.bfloat16),
+    """f32 (B, D) x int8 (D, N) as a TRUE int8 MXU matmul.
+
+    The query side is dynamically quantized per row (symmetric, 127
+    levels) so both operands are int8 and the accumulation is int32 — on
+    v5e this runs at 2x the bf16 MXU rate and reads the codes at 1
+    byte/dim. The ~1/127 relative rounding on the query side is absorbed
+    by the exact re-rank every caller performs on the shortlist."""
+    amax = jnp.max(jnp.abs(a_f32), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q_i8 = jnp.clip(jnp.round(a_f32 / scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q_i8,
+        codes_i8_t,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
+    return acc.astype(jnp.float32) * scale
 
 
 # ── SQ8 ──────────────────────────────────────────────────────────────────
@@ -143,7 +174,7 @@ class RaBitQ:
         return cls(rotation_signs(dim_pad, seed), dim, dim_pad)
 
     def encode(self, data: np.ndarray) -> dict:
-        rot = np.asarray(rotate(data, self.signs, self.dim_pad))
+        rot = rotate_host(data, self.signs, self.dim_pad)
         alpha = np.abs(rot).mean(axis=-1).astype(np.float32)
         bits = np.where(rot > 0, 1, -1).astype(np.int8)
         row_sq = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
@@ -181,7 +212,7 @@ class PolarVec:
         return cls(rotation_signs(_next_pow2(dim), seed), dim, _next_pow2(dim), bits)
 
     def encode(self, data: np.ndarray) -> dict:
-        rot = np.asarray(rotate(data, self.signs, self.dim_pad))
+        rot = rotate_host(data, self.signs, self.dim_pad)
         lo = rot.min(axis=-1).astype(np.float32)
         hi = rot.max(axis=-1).astype(np.float32)
         scale = ((hi - lo) / max(self.levels, 1)).astype(np.float32)

@@ -130,3 +130,21 @@ def test_filters_compose_with_search(coll, rng):
 def test_filters_compose_with_filter_ids(coll):
     got = list(coll.query(where='"active" = true', filter_ids=[100, 101, 102]).ids)
     assert got == [100, 102]
+
+
+def test_documented_grammar_rejections_raise_filter_error():
+    """The filter-grammar contract (docs/tutorials/metadata_filter_cookbook.md
+    'Grammar contract'): SQL the reference accepts but this grammar rejects
+    must fail loudly at parse time, never silently match nothing."""
+    from lynsedb_tpu.storage.filter import FilterError, parse_where
+
+    rejected = [
+        "price * quantity > 100",     # arithmetic on fields
+        "LENGTH(name) > 3",           # function call
+        "a = b",                      # field-to-field comparison
+        "x IN (SELECT id FROM t)",    # subquery
+        "CASE WHEN a = 1 THEN 1 ELSE 0 END = 1",  # CASE expression
+    ]
+    for expr in rejected:
+        with pytest.raises(FilterError):
+            parse_where(expr)

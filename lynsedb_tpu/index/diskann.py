@@ -30,6 +30,7 @@ from ..ops.graph import (
     beam_search,
     beam_search_bf16,
     beam_search_pq,
+    beam_search_sq8,
     build_vamana,
     entry_sample_ids,
     entry_scan,
@@ -38,7 +39,7 @@ from ..ops.graph import (
     reconnect_orphans,
     repair_deleted_edges,
 )
-from ..ops.quantize import PQ
+from ..ops.quantize import PQ, SQ8
 from ..storage.vector_store import write_atomic
 
 DEFAULT_R = 32
@@ -103,7 +104,14 @@ class DiskANNIndex:
         # layered-mode artifacts (None when not layered)
         self.pq: Optional[PQ] = None
         self.pq_codes: Optional[np.ndarray] = None  # (built_rows, M) uint8
-        self._pq_dev = None  # (codes, codebooks, row_sq) device triplet
+        self.pq_alpha: Optional[np.ndarray] = None  # (built_rows,) f32 row scale
+        self.pq_row_sq: Optional[np.ndarray] = None  # (built_rows,) f32 TRUE norms^2
+        self._pq_dev = None  # (codes, codebooks, alpha, row_sq) device tuple
+        # SQ8 middle guidance tier (1 byte/dim; see ops/graph.beam_search_sq8)
+        self.sq8_codes: Optional[np.ndarray] = None  # (built_rows, D) int8
+        self.sq8_lo: Optional[np.ndarray] = None  # (D,)
+        self.sq8_scale: Optional[np.ndarray] = None  # (D,)
+        self._sq8_dev = None  # (codes, lo, scale, row_sq) device tuple
 
     # ── build ────────────────────────────────────────────────────────────
 
@@ -134,15 +142,30 @@ class DiskANNIndex:
         return idx
 
     def _fit_pq(self, data: np.ndarray) -> None:
-        """Train + encode the layered-mode PQ artifacts (diskann.rs:276
+        """Train + encode the layered-mode guidance artifacts (diskann.rs:276
         flush_layered writes graph.bin + pq.bin; here the codes stay
-        device-stageable numpy)."""
+        device-stageable numpy).
+
+        Fits BOTH sub-bf16 guidance tiers: SQ8 codes (1 byte/dim — used
+        whenever they fit the device budget) and PQ codes + alpha row-scale
+        corrections + true row norms (the deepest tier, M bytes/row)."""
+        data = np.asarray(data, dtype=np.float32)
         sample = data if len(data) <= PQ_FIT_SAMPLE else data[
             np.random.default_rng(7).choice(len(data), PQ_FIT_SAMPLE, replace=False)
         ]
-        self.pq = PQ.fit(np.asarray(sample, dtype=np.float32))
-        self.pq_codes = self.pq.encode(np.asarray(data, dtype=np.float32))
+        self.pq = PQ.fit(sample)
+        self.pq_codes = self.pq.encode(data)
+        dec = self.pq.decode(self.pq_codes)
+        num = np.einsum("nd,nd->n", data, dec)
+        den = np.einsum("nd,nd->n", dec, dec)
+        self.pq_alpha = np.where(den > 0, num / np.maximum(den, 1e-30), 1.0).astype(np.float32)
+        self.pq_row_sq = np.einsum("nd,nd->n", data, data).astype(np.float32)
         self._pq_dev = None
+        sq = SQ8.fit(data)
+        self.sq8_codes = sq.encode(data)
+        self.sq8_lo = sq.lo
+        self.sq8_scale = sq.scale
+        self._sq8_dev = None
 
     @property
     def layered(self) -> bool:
@@ -187,6 +210,13 @@ class DiskANNIndex:
         if self.layered:
             arrays["pq_codes"] = self.pq_codes
             arrays["pq_codebooks"] = self.pq.codebooks
+            if self.pq_alpha is not None:
+                arrays["pq_alpha"] = self.pq_alpha
+                arrays["pq_row_sq"] = self.pq_row_sq
+            if self.sq8_codes is not None:
+                arrays["sq8_codes"] = self.sq8_codes
+                arrays["sq8_lo"] = self.sq8_lo
+                arrays["sq8_scale"] = self.sq8_scale
         unl = np.asarray(getattr(self, "_unlinked_ids", ()), dtype=np.int64)
         if len(unl):
             arrays["unlinked"] = unl
@@ -218,6 +248,16 @@ class DiskANNIndex:
         if "pq_codes" in data.files:
             idx.pq = PQ(data["pq_codebooks"])
             idx.pq_codes = data["pq_codes"]
+            if "pq_alpha" in data.files:
+                idx.pq_alpha = data["pq_alpha"]
+                idx.pq_row_sq = data["pq_row_sq"]
+            else:  # legacy layered index: uncorrected guidance
+                idx.pq_alpha = np.ones(len(idx.pq_codes), dtype=np.float32)
+                idx.pq_row_sq = idx._pq_row_sq(idx.pq_codes)
+            if "sq8_codes" in data.files:
+                idx.sq8_codes = data["sq8_codes"]
+                idx.sq8_lo = data["sq8_lo"]
+                idx.sq8_scale = data["sq8_scale"]
         if "unlinked" in data.files:
             idx._unlinked_ids = data["unlinked"]
         return idx
@@ -285,12 +325,46 @@ class DiskANNIndex:
     def _pq_device(self):
         if self._pq_dev is None:
             codes = self.pq_codes
+            alpha = self.pq_alpha if self.pq_alpha is not None else \
+                np.ones(len(codes), dtype=np.float32)
+            row_sq = self.pq_row_sq if self.pq_row_sq is not None else \
+                self._pq_row_sq(codes)
             self._pq_dev = (
                 jnp.asarray(codes),
                 jnp.asarray(self.pq.codebooks),
-                jnp.asarray(self._pq_row_sq(codes)),
+                jnp.asarray(alpha),
+                jnp.asarray(row_sq),
             )
         return self._pq_dev
+
+    def _sq8_device(self):
+        if self._sq8_dev is None:
+            row_sq = self.pq_row_sq if self.pq_row_sq is not None else \
+                self._pq_row_sq(self.pq_codes)
+            self._sq8_dev = (
+                jnp.asarray(self.sq8_codes),
+                jnp.asarray(self.sq8_lo),
+                jnp.asarray(self.sq8_scale),
+                jnp.asarray(row_sq),
+            )
+        return self._sq8_dev
+
+    def _sq8_fits_device(self) -> bool:
+        """SQ8 guidance codes fit when they take at most SQ8_GUIDE_FRACTION
+        of the HBM budget (adjacency, visited bitmaps, and streaming
+        flat-scan block buffers share the device).
+
+        The viable window is real but bounded: the corpus streams when its
+        bf16 copy exceeds the budget (2 bytes/dim, ops/scan.HBM_BYTES), so
+        SQ8 (1 byte/dim) covers corpora between ~0.5x and ~0.6x the budget
+        in int8 bytes — at the 12 GB default that is roughly 47M-56M
+        128-d rows; beyond that the beam falls to PQ codes."""
+        if self.sq8_codes is None:
+            return False
+        from ..ops.scan import HBM_BYTES
+
+        frac = float(os.environ.get("LYNSE_TPU_SQ8_GUIDE_FRACTION", "0.6"))
+        return self.sq8_codes.nbytes <= int(HBM_BYTES * frac)
 
     def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
         metric = self.metric
@@ -306,9 +380,11 @@ class DiskANNIndex:
         qj = jnp.asarray(np.atleast_2d(q.astype(np.float32)))
         starts = self._query_starts(coll, qj, live)
         guided = _PQ_METRIC_KIND.get(metric)
-        # _force_pq: test hook to exercise the streaming PQ tier without a
+        # _force_pq / _force_sq8: test hooks to exercise the streaming
+        # guidance tiers without a
         # >HBM corpus (the dispatch below is otherwise driven by residency)
-        use_bf16 = guided and not corpus.would_stream() and not getattr(self, "_force_pq", False)
+        force_stream = getattr(self, "_force_pq", False) or getattr(self, "_force_sq8", False)
+        use_bf16 = guided and not corpus.would_stream() and not force_stream
         if guided and corpus.would_stream() and not self.layered:
             # legacy index built resident on a corpus that now streams: fit
             # the PQ tier once from the host mirror; persist it unless the
@@ -337,15 +413,34 @@ class DiskANNIndex:
                 ids = np.asarray(pool, dtype=np.int64)
                 n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
                 return ids, corpus.rescore(q_np, ids, metric), n_sc
+            sq8_tier = (self._sq8_fits_device() and not getattr(self, "_force_pq", False)) \
+                or getattr(self, "_force_sq8", False)
+            if self.layered and guided and sq8_tier:
+                # streaming middle tier: SQ8-guided beam (1 byte/dim) walks
+                # at near-bf16 quality where PQ's subspace smearing
+                # collapses recall (r4 streaming DISKANN-IP: 0.709 vs the
+                # 0.90 floor under PQ guidance); exact rescore from the
+                # host mirror recovers true ranking
+                beam_q = beam * 5 // 4
+                c_d, lo_d, sc_d, rsq_d = self._sq8_device()
+                _, pool, scanned = beam_search_sq8(
+                    qc, c_d, lo_d, sc_d, rsq_d, self._graph(), sc, live,
+                    metric_kind=guided, beam=beam_q, max_steps=beam_q * 2,
+                )
+                ids = np.asarray(pool, dtype=np.int64)
+                n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
+                return ids, corpus.rescore(q_np, ids, metric), n_sc
             if self.layered and guided:
-                # streaming (>HBM) tier: PQ-guided beam, exact rescore from
+                # deepest tier: PQ-guided beam (M bytes/row), alpha
+                # row-scale corrected + true-norm keys, exact rescore from
                 # the host mirror (diskann.rs:602 + uses_store_rescore
-                # semantics). The PQ proxy smears the ranking, so the walk
-                # runs with a 2x pool and the exact rescore recovers order
+                # semantics). The PQ proxy still smears ranking, so the
+                # walk runs with a 2x pool
                 beam_pq = 2 * beam
-                codes_d, books_d, row_sq_d = self._pq_device()
+                codes_d, books_d, alpha_d, row_sq_d = self._pq_device()
                 _, pool, scanned = beam_search_pq(
-                    qc, codes_d, books_d, row_sq_d, self._graph(), sc, live,
+                    qc, codes_d, books_d, alpha_d, row_sq_d, self._graph(),
+                    sc, live,
                     metric_kind=guided, beam=beam_pq, max_steps=beam_pq * 2,
                 )
                 ids = np.asarray(pool, dtype=np.int64)
@@ -544,11 +639,25 @@ class DiskANNIndex:
                 self._fit_pq(np.asarray(
                     corpus.host_rows(np.arange(self.built_rows)),
                     dtype=np.float32))
-            tail = corpus.host_rows(new_ids)
-            self.pq_codes = np.concatenate([
-                self.pq_codes,
-                self.pq.encode(np.asarray(tail, dtype=np.float32)),
-            ])
+            tail = np.asarray(corpus.host_rows(new_ids), dtype=np.float32)
+            tail_codes = self.pq.encode(tail)
+            self.pq_codes = np.concatenate([self.pq_codes, tail_codes])
+            if self.pq_alpha is not None:
+                dec = self.pq.decode(tail_codes)
+                num = np.einsum("nd,nd->n", tail, dec)
+                den = np.einsum("nd,nd->n", dec, dec)
+                self.pq_alpha = np.concatenate([
+                    self.pq_alpha,
+                    np.where(den > 0, num / np.maximum(den, 1e-30), 1.0).astype(np.float32),
+                ])
+                self.pq_row_sq = np.concatenate([
+                    self.pq_row_sq,
+                    np.einsum("nd,nd->n", tail, tail).astype(np.float32),
+                ])
+            if self.sq8_codes is not None:
+                sq = SQ8(self.sq8_lo, self.sq8_lo + self.sq8_scale * 255.0)
+                self.sq8_codes = np.concatenate([self.sq8_codes, sq.encode(tail)])
+                self._sq8_dev = None
             self._pq_dev = None
             self.built_rows = n
             to_link = np.concatenate([to_link, new_ids])
@@ -615,7 +724,11 @@ class DiskANNIndex:
         self._graph_dev = None  # the adjacency just grew
         self._entry_dev = None
         graph_dev = self._graph()
-        codes_d, books_d, row_sq_d = self._pq_device()
+        use_sq8 = self._sq8_fits_device()
+        if use_sq8:
+            sq8_codes_d, sq8_lo_d, sq8_scale_d, sq8_rsq_d = self._sq8_device()
+        else:
+            codes_d, books_d, alpha_d, row_sq_d = self._pq_device()
         live_dev = jnp.asarray(live[: self.built_rows])
         # the beam's (b, n) visited bitmap bounds the sub-batch (see
         # _beam_batch_cap); pad to the smallest allowed bucket so repeated
@@ -648,9 +761,16 @@ class DiskANNIndex:
             raw = raw_rows(cpad)  # one host gather serves walk + prune
             qj = jnp.asarray(raw)
             starts = self._query_starts(coll, qj, live_dev)
-            _, pool, _ = beam_search_pq(
-                qj, codes_d, books_d, row_sq_d, graph_dev, starts, live_dev,
-                metric_kind=walk_kind, beam=lw, max_steps=2 * lw)
+            if use_sq8:
+                _, pool, _ = beam_search_sq8(
+                    qj, sq8_codes_d, sq8_lo_d, sq8_scale_d, sq8_rsq_d,
+                    graph_dev, starts, live_dev,
+                    metric_kind=walk_kind, beam=lw, max_steps=2 * lw)
+            else:
+                _, pool, _ = beam_search_pq(
+                    qj, codes_d, books_d, alpha_d, row_sq_d, graph_dev,
+                    starts, live_dev,
+                    metric_kind=walk_kind, beam=lw, max_steps=2 * lw)
             cand = np.asarray(pool, dtype=np.int64)  # (mp, lw)
             pruned = np.asarray(prune_gathered(
                 jnp.asarray(cspace(raw)), jnp.asarray(cspace(raw_rows(cand))),

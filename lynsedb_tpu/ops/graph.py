@@ -104,43 +104,31 @@ def _keyed_pairwise(q, x, metric: Metric):
     return -scores if metric.ascending else scores
 
 
-@partial(jax.jit, static_argnames=("metric", "beam", "max_steps", "k", "expand"))
-def _beam_search_jit(
-    q: jnp.ndarray,  # (B, D)
-    corpus: jnp.ndarray,  # (N, D) f32
-    graph: jnp.ndarray,  # (N, R) int32, -1 padded
-    starts: jnp.ndarray,  # (S,) int32 entry points (shared)
-    valid: jnp.ndarray,  # (N,) bool — live rows (tombstones/filters)
-    *,
-    metric: Metric,
-    beam: int,
-    max_steps: int,
-    k: int,
-    expand: int,
-):
-    """Batched best-first beam search. Returns (keys (B,k), ids (B,k),
-    scanned (B,)) with ids == -1 where the pool ran dry; keys are oriented
-    (bigger = better); scanned counts visited nodes (rows whose distance was
-    computed — the honest per-query work figure, reference engine.rs:6906
-    QueryProfile.scanned_vectors). ``expand`` = candidates expanded per
-    lockstep step (see beam_search_bf16)."""
-    b, d = q.shape
+
+def _beam_core(keyed_ids, graph, starts, valid, b, *, beam, max_steps, expand):
+    """Shared lockstep best-first engine behind every guided beam kernel.
+
+    ``keyed_ids``: (B, C) int32 node ids -> (B, C) oriented proxy keys
+    (bigger = better) — the ONLY thing the guidance tiers (exact f32 /
+    bf16 / SQ8 / PQ) differ in. Each while_loop step expands the best E
+    unexpanded pool candidates per query, gathers their neighbors, scores
+    them with ``keyed_ids``, and top_k-merges into the pool. A (B, N)
+    visited bitmap lives in HBM.
+
+    Returns (pool_keys (B, beam), pool_ids (B, beam), scanned (B,)) —
+    best-first in proxy key space, ids == -1 where the pool ran dry;
+    scanned counts visited nodes (reference engine.rs:6906
+    QueryProfile.scanned_vectors).
+    """
     n, r = graph.shape
-    # starts: (S,) shared entry points or (B, S) per-query entry points
-    # (per-query entries come from the index's sampled entry scan — one
-    # matmul that plays the role of HNSW's upper-layer descent)
     starts_b = jnp.broadcast_to(starts[None, :], (b, starts.shape[0])) \
         if starts.ndim == 1 else starts
     s = starts_b.shape[1]
-
-    start_rows = corpus[starts_b]  # (B, S, D)
-    keys0 = jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(q, start_rows)
-    keys0 = jnp.where(valid[starts_b], keys0, NEG_INF)
+    keys0 = jnp.where(valid[starts_b], keyed_ids(starts_b), NEG_INF)
 
     pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
     pool_keys = jnp.full((b, beam), NEG_INF)
     pool_exp = jnp.zeros((b, beam), dtype=bool)
-    # seed the pool
     top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
     pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
     pool_ids = pool_ids.at[:, : top0.shape[1]].set(
@@ -149,7 +137,6 @@ def _beam_search_jit(
     visited = jnp.zeros((b, n), dtype=bool)
     visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
 
-    qt_rows = q  # raw; distances recomputed per expansion
     e = expand
     rows_idx = jnp.arange(b)[:, None]
 
@@ -160,6 +147,8 @@ def _beam_search_jit(
         top_cand, best = jax.lax.top_k(cand_key, e)  # (B, E)
         best_ids = jnp.take_along_axis(pool_ids, best, axis=1)
         has_work = top_cand > NEG_INF
+        # marking empty slots expanded is harmless: the cond predicate
+        # already excludes pool_ids < 0 slots
         pool_exp = pool_exp.at[rows_idx, best].set(True)
 
         nbrs = graph[jnp.maximum(best_ids, 0)].reshape(b, e * r)  # (B, E*R)
@@ -177,142 +166,9 @@ def _beam_search_jit(
         # node added to the pool this step, letting a later parent re-add
         # it (observed as duplicate pool ids under expand>1)
         visited = visited.at[rows_idx, safe_nbrs].max(fresh)
-
-        rows = corpus[safe_nbrs]  # (B, E*R, D)
-        keys = jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(qt_rows, rows)
-        keys = jnp.where(fresh & valid[safe_nbrs], keys, NEG_INF)
+        keys = jnp.where(fresh & valid[safe_nbrs], keyed_ids(safe_nbrs), NEG_INF)
 
         # merge pool and fresh neighbors, keep top `beam`
-        all_keys = jnp.concatenate([pool_keys, keys], axis=1)
-        all_ids = jnp.concatenate([pool_ids, jnp.where(fresh, nbrs, -1)], axis=1)
-        all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
-        top_keys, pos = jax.lax.top_k(all_keys, beam)
-        gather = lambda a: jnp.take_along_axis(a, pos, axis=1)  # noqa: E731
-        return gather(all_ids), top_keys, gather(all_exp), visited, steps + 1
-
-    def cond(state):
-        pool_ids, pool_keys, pool_exp, visited, steps = state
-        unexpanded = (~pool_exp) & (pool_ids >= 0) & (pool_keys > NEG_INF)
-        return (steps < max_steps) & jnp.any(unexpanded)
-
-    pool_ids, pool_keys, pool_exp, visited, _ = jax.lax.while_loop(
-        cond, step, (pool_ids, pool_keys, pool_exp, visited, jnp.int32(0))
-    )
-    k_eff = min(k, beam)
-    top_keys, pos = jax.lax.top_k(pool_keys, k_eff)
-    top_ids = jnp.take_along_axis(pool_ids, pos, axis=1)
-    top_ids = jnp.where(top_keys > NEG_INF, top_ids, -1)
-    return top_keys, top_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
-
-
-def beam_search(q, corpus, graph, starts, valid, *, metric: Metric,
-                beam: int, max_steps: int, k: int,
-                expand: int | None = None):
-    """See _beam_search_jit; resolves the ``expand`` default eagerly."""
-    return _beam_search_jit(q, corpus, graph, starts, valid, metric=metric,
-                            beam=beam, max_steps=max_steps, k=k,
-                            expand=_resolve_expand(expand, beam))
-
-
-@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps", "expand"))
-def _beam_search_pq_jit(
-    q: jnp.ndarray,  # (B, D) f32
-    codes: jnp.ndarray,  # (N, M) uint8/int32 PQ codes (device-resident)
-    codebooks: jnp.ndarray,  # (M, 256, Ds) f32
-    row_sq: jnp.ndarray,  # (N,) reconstructed squared norms (l2/cos terms)
-    graph: jnp.ndarray,  # (N, R) int32, -1 padded
-    starts: jnp.ndarray,  # (S,) int32 entry points (shared)
-    valid: jnp.ndarray,  # (N,) bool
-    *,
-    metric_kind: str,  # "ip" | "l2" | "cos"
-    beam: int,
-    max_steps: int,
-    expand: int,
-):
-    """PQ-guided batched beam search (the layered DiskANN search plane,
-    reference: diskann.rs:602 search_graph_pq + :276 flush_layered).
-
-    The beam never touches f32 corpus rows: per query a (M, 256) ADC LUT is
-    built with one einsum, and each expansion scores the (B, R) neighbor
-    block by gathering codes + LUT-summing. The engine exact-rescores the
-    returned pool from the host mirror afterwards (uses_store_rescore
-    semantics, vector_store.rs:611), so HBM holds only codes + adjacency —
-    the corpus can exceed the device budget and graph search still runs.
-
-    Returns (keys (B, beam), ids (B, beam), scanned (B,)) — the FULL pool,
-    best-first in approximate key space; ids == -1 where the pool ran dry;
-    scanned counts visited nodes.
-    """
-    b, d = q.shape
-    n, r = graph.shape
-    m, kcent, ds = codebooks.shape
-    q_sub = q.reshape(b, m, ds)
-    lut = jnp.einsum("bms,mks->bmk", q_sub, codebooks,
-                     preferred_element_type=jnp.float32)  # (B, M, 256)
-
-    def keyed_ids(node_ids: jnp.ndarray) -> jnp.ndarray:
-        """(B, C) node ids -> (B, C) oriented keys (bigger = better).
-        Per-query-constant terms are dropped: they cannot change the
-        beam's ordering and the exact rescore replaces the values."""
-        cd = codes[node_ids].astype(jnp.int32)  # (B, C, M)
-
-        def one(lut_q, cd_q):
-            return jnp.take_along_axis(lut_q.T, cd_q, axis=0).sum(-1)
-
-        ip = jax.vmap(one)(lut, cd)  # (B, C)
-        if metric_kind == "ip":
-            return ip
-        rs = row_sq[node_ids]
-        if metric_kind == "l2":
-            return 2.0 * ip - rs  # key(-l2) + const
-        return ip * jax.lax.rsqrt(jnp.maximum(rs, 1e-30))  # cos + const scale
-
-    starts_b = jnp.broadcast_to(starts[None, :], (b, starts.shape[0])) \
-        if starts.ndim == 1 else starts
-    s = starts_b.shape[1]
-    keys0 = keyed_ids(starts_b)
-    keys0 = jnp.where(valid[starts_b], keys0, NEG_INF)
-
-    pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
-    pool_keys = jnp.full((b, beam), NEG_INF)
-    pool_exp = jnp.zeros((b, beam), dtype=bool)
-    top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
-    pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
-    pool_ids = pool_ids.at[:, : top0.shape[1]].set(
-        jnp.take_along_axis(starts_b, idx0, axis=1).astype(jnp.int32))
-
-    visited = jnp.zeros((b, n), dtype=bool)
-    visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
-
-    e = expand
-    rows_idx = jnp.arange(b)[:, None]
-
-    def step(state):
-        pool_ids, pool_keys, pool_exp, visited, steps = state
-        cand_key = jnp.where(pool_exp | (pool_ids < 0), NEG_INF, pool_keys)
-        top_cand, best = jax.lax.top_k(cand_key, e)  # (B, E)
-        best_ids = jnp.take_along_axis(pool_ids, best, axis=1)
-        has_work = top_cand > NEG_INF
-        pool_exp = pool_exp.at[rows_idx, best].set(True)
-
-        nbrs = graph[jnp.maximum(best_ids, 0)].reshape(b, e * r)  # (B, E*R)
-        nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
-        safe_nbrs = jnp.maximum(nbrs, 0)
-        seen = visited[rows_idx, safe_nbrs]
-        fresh = nbr_ok & ~seen
-        if e > 1:  # static branch: a single parent's adjacency row is
-            # duplicate-free by construction (robust prune + build-side
-            # dedup), so the cross-parent mask would be a per-step no-op
-            fresh = _mask_step_dups(fresh, nbrs, rows_idx)
-        # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
-        # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
-        # write of a stale False could race out the True — un-marking a
-        # node added to the pool this step, letting a later parent re-add
-        # it (observed as duplicate pool ids under expand>1)
-        visited = visited.at[rows_idx, safe_nbrs].max(fresh)
-        keys = keyed_ids(safe_nbrs)
-        keys = jnp.where(fresh & valid[safe_nbrs], keys, NEG_INF)
-
         all_keys = jnp.concatenate([pool_keys, keys], axis=1)
         all_ids = jnp.concatenate([pool_ids, jnp.where(fresh, nbrs, -1)], axis=1)
         all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
@@ -332,13 +188,122 @@ def _beam_search_pq_jit(
     return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
 
 
-def beam_search_pq(q, codes, codebooks, row_sq, graph, starts, valid, *,
-                   metric_kind: str, beam: int, max_steps: int,
+@partial(jax.jit, static_argnames=("metric", "beam", "max_steps", "k", "expand"))
+def _beam_search_jit(
+    q: jnp.ndarray,  # (B, D)
+    corpus: jnp.ndarray,  # (N, D) f32
+    graph: jnp.ndarray,  # (N, R) int32, -1 padded
+    starts: jnp.ndarray,  # (S,) int32 entry points (shared)
+    valid: jnp.ndarray,  # (N,) bool — live rows (tombstones/filters)
+    *,
+    metric: Metric,
+    beam: int,
+    max_steps: int,
+    k: int,
+    expand: int,
+):
+    """Batched best-first beam search over EXACT f32 rows (the small-corpus
+    tier). Returns (keys (B,k), ids (B,k), scanned (B,)) with ids == -1
+    where the pool ran dry; keys are oriented (bigger = better). See
+    :func:`_beam_core` for the engine; this tier's keyed_ids computes true
+    per-metric distances."""
+    b, d = q.shape
+
+    def keyed_ids(node_ids: jnp.ndarray) -> jnp.ndarray:
+        rows = corpus[node_ids]  # (B, C, D)
+        return jax.vmap(lambda qq, xx: _keyed_pairwise(qq[None], xx, metric)[0])(q, rows)
+
+    pool_keys, pool_ids, scanned = _beam_core(
+        keyed_ids, graph, starts, valid, b,
+        beam=beam, max_steps=max_steps, expand=expand)
+    k_eff = min(k, beam)
+    top_keys, pos = jax.lax.top_k(pool_keys, k_eff)
+    top_ids = jnp.take_along_axis(pool_ids, pos, axis=1)
+    top_ids = jnp.where(top_keys > NEG_INF, top_ids, -1)
+    return top_keys, top_ids, scanned
+
+
+def beam_search(q, corpus, graph, starts, valid, *, metric: Metric,
+                beam: int, max_steps: int, k: int,
+                expand: int | None = None):
+    """See _beam_search_jit; resolves the ``expand`` default eagerly."""
+    return _beam_search_jit(q, corpus, graph, starts, valid, metric=metric,
+                            beam=beam, max_steps=max_steps, k=k,
+                            expand=_resolve_expand(expand, beam))
+
+
+@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps", "expand"))
+def _beam_search_pq_jit(
+    q: jnp.ndarray,  # (B, D) f32
+    codes: jnp.ndarray,  # (N, M) uint8/int32 PQ codes (device-resident)
+    codebooks: jnp.ndarray,  # (M, 256, Ds) f32
+    alpha: jnp.ndarray,  # (N,) f32 per-row scale correction (x.x_hat/x_hat.x_hat)
+    row_sq: jnp.ndarray,  # (N,) TRUE squared norms (l2/cos terms)
+    graph: jnp.ndarray,  # (N, R) int32, -1 padded
+    starts: jnp.ndarray,  # (S,) int32 entry points (shared)
+    valid: jnp.ndarray,  # (N,) bool
+    *,
+    metric_kind: str,  # "ip" | "l2" | "cos"
+    beam: int,
+    max_steps: int,
+    expand: int,
+):
+    """PQ-guided batched beam search (the deepest layered tier, reference:
+    diskann.rs:602 search_graph_pq + :276 flush_layered).
+
+    The beam never touches f32 corpus rows: per query a (M, 256) ADC LUT is
+    built with one einsum, and each expansion scores neighbors by gathering
+    codes + LUT-summing. Two corrections sharpen the proxy beyond the
+    reference's raw ADC walk (both free at walk time, one f32/row each):
+
+      * ``alpha`` — the least-squares row scale (x.x_hat / x_hat.x_hat):
+        ip_hat = alpha * ADC recovers the norm information PQ smears, which
+        is exactly what norm-skewed MIPS walks die of.
+      * ``row_sq`` — TRUE squared norms (computed at encode time from the
+        real rows) rather than reconstructed ones for the l2/cos keys.
+
+    The engine exact-rescores the returned pool from the host mirror
+    afterwards (uses_store_rescore semantics, vector_store.rs:611), so HBM
+    holds only codes + adjacency — the corpus can exceed the device budget
+    and graph search still runs.
+
+    Returns (keys (B, beam), ids (B, beam), scanned (B,)) — the FULL pool,
+    best-first in approximate key space.
+    """
+    b, d = q.shape
+    m, kcent, ds = codebooks.shape
+    q_sub = q.reshape(b, m, ds)
+    lut = jnp.einsum("bms,mks->bmk", q_sub, codebooks,
+                     preferred_element_type=jnp.float32)  # (B, M, 256)
+
+    def keyed_ids(node_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, C) node ids -> (B, C) oriented keys (bigger = better).
+        Per-query-constant terms are dropped: they cannot change the
+        beam's ordering and the exact rescore replaces the values."""
+        cd = codes[node_ids].astype(jnp.int32)  # (B, C, M)
+
+        def one(lut_q, cd_q):
+            return jnp.take_along_axis(lut_q.T, cd_q, axis=0).sum(-1)
+
+        ip = alpha[node_ids] * jax.vmap(one)(lut, cd)  # (B, C)
+        if metric_kind == "ip":
+            return ip
+        rs = row_sq[node_ids]
+        if metric_kind == "l2":
+            return 2.0 * ip - rs  # key(-l2) + const
+        return ip * jax.lax.rsqrt(jnp.maximum(rs, 1e-30))  # cos + const scale
+
+    return _beam_core(keyed_ids, graph, starts, valid, b,
+                      beam=beam, max_steps=max_steps, expand=expand)
+
+
+def beam_search_pq(q, codes, codebooks, alpha, row_sq, graph, starts, valid,
+                   *, metric_kind: str, beam: int, max_steps: int,
                    expand: int | None = None):
     """See _beam_search_pq_jit; resolves the ``expand`` default eagerly."""
-    return _beam_search_pq_jit(q, codes, codebooks, row_sq, graph, starts,
-                               valid, metric_kind=metric_kind, beam=beam,
-                               max_steps=max_steps,
+    return _beam_search_pq_jit(q, codes, codebooks, alpha, row_sq, graph,
+                               starts, valid, metric_kind=metric_kind,
+                               beam=beam, max_steps=max_steps,
                                expand=_resolve_expand(expand, beam))
 
 
@@ -365,22 +330,15 @@ def _beam_search_bf16_jit(
     — the reference walks PQ codes because its exact rows live on SSD; here
     the bf16 scan copy is already in HBM for the flat path, so when the
     corpus fits the device budget the beam is guided at bf16 precision and
-    only falls back to PQ guidance in streaming mode). Ranking corrections
-    mirror ops/scan._bf16_scores: per-query-constant terms are dropped, the
-    engine exact-rescores the returned pool from the host f32 mirror
-    (uses_store_rescore semantics, vector_store.rs:611).
-
-    ``expand``: candidates expanded per while_loop step. The loop runs in
-    lockstep across the batch and each step pays a fixed dispatch/gather
-    overhead, so expanding the top-E unexpanded candidates at once cuts the
-    step count ~E x for the same pool — the TPU-shaped version of the
-    classic single-expansion best-first walk.
+    only falls back to SQ8/PQ guidance in streaming mode). Ranking
+    corrections mirror ops/scan._bf16_scores: per-query-constant terms are
+    dropped, the engine exact-rescores the returned pool from the host f32
+    mirror (uses_store_rescore semantics, vector_store.rs:611).
 
     Returns (keys (B, beam), ids (B, beam), scanned (B,)) — the FULL pool,
     best-first in proxy key space; ids == -1 where the pool ran dry.
     """
     b, d = q.shape
-    n, r = graph.shape
     qc = q - mean[None, :]  # (B, D) f32
     qc16 = qc.astype(jnp.bfloat16)
     q_dot_mean = jnp.sum(q * mean[None, :], axis=-1, keepdims=True)  # (B, 1)
@@ -397,69 +355,8 @@ def _beam_search_bf16_jit(
         num = ip_c + xm[node_ids] + q_dot_mean
         return num * jax.lax.rsqrt(jnp.maximum(xsq_true[node_ids], 1e-30))
 
-    starts_b = jnp.broadcast_to(starts[None, :], (b, starts.shape[0])) \
-        if starts.ndim == 1 else starts
-    s = starts_b.shape[1]
-    keys0 = jnp.where(valid[starts_b], keyed_ids(starts_b), NEG_INF)
-
-    pool_ids = jnp.full((b, beam), -1, dtype=jnp.int32)
-    pool_keys = jnp.full((b, beam), NEG_INF)
-    pool_exp = jnp.zeros((b, beam), dtype=bool)
-    top0, idx0 = jax.lax.top_k(keys0, min(s, beam))
-    pool_keys = pool_keys.at[:, : top0.shape[1]].set(top0)
-    pool_ids = pool_ids.at[:, : top0.shape[1]].set(
-        jnp.take_along_axis(starts_b, idx0, axis=1).astype(jnp.int32))
-
-    visited = jnp.zeros((b, n), dtype=bool)
-    visited = visited.at[jnp.arange(b)[:, None], jnp.maximum(pool_ids, 0)].set(pool_ids >= 0)
-
-    e = expand
-    rows_idx = jnp.arange(b)[:, None]
-
-    def step(state):
-        pool_ids, pool_keys, pool_exp, visited, steps = state
-        cand_key = jnp.where(pool_exp | (pool_ids < 0), NEG_INF, pool_keys)
-        top_cand, best = jax.lax.top_k(cand_key, e)  # (B, E)
-        best_ids = jnp.take_along_axis(pool_ids, best, axis=1)  # (B, E)
-        has_work = top_cand > NEG_INF
-        # marking empty slots expanded is harmless: the cond predicate
-        # already excludes pool_ids < 0 slots
-        pool_exp = pool_exp.at[rows_idx, best].set(True)
-
-        nbrs = graph[jnp.maximum(best_ids, 0)].reshape(b, e * r)  # (B, E*R)
-        nbr_ok = ((nbrs >= 0).reshape(b, e, r) & has_work[:, :, None]).reshape(b, e * r)
-        safe_nbrs = jnp.maximum(nbrs, 0)
-        seen = visited[rows_idx, safe_nbrs]
-        fresh = nbr_ok & ~seen
-        if e > 1:  # static branch: a single parent's adjacency row is
-            # duplicate-free by construction (robust prune + build-side
-            # dedup), so the cross-parent mask would be a per-step no-op
-            fresh = _mask_step_dups(fresh, nbrs, rows_idx)
-        # scatter-MAX, not set: safe_nbrs carries duplicate indices (masked
-        # dup occurrences, -1 pads clamped to 0), and a duplicate .set()
-        # write of a stale False could race out the True — un-marking a
-        # node added to the pool this step, letting a later parent re-add
-        # it (observed as duplicate pool ids under expand>1)
-        visited = visited.at[rows_idx, safe_nbrs].max(fresh)
-        keys = jnp.where(fresh & valid[safe_nbrs], keyed_ids(safe_nbrs), NEG_INF)
-
-        all_keys = jnp.concatenate([pool_keys, keys], axis=1)
-        all_ids = jnp.concatenate([pool_ids, jnp.where(fresh, nbrs, -1)], axis=1)
-        all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
-        top_keys, pos = jax.lax.top_k(all_keys, beam)
-        gather = lambda a: jnp.take_along_axis(a, pos, axis=1)  # noqa: E731
-        return gather(all_ids), top_keys, gather(all_exp), visited, steps + 1
-
-    def cond(state):
-        pool_ids, pool_keys, pool_exp, visited, steps = state
-        unexpanded = (~pool_exp) & (pool_ids >= 0) & (pool_keys > NEG_INF)
-        return (steps < max_steps) & jnp.any(unexpanded)
-
-    pool_ids, pool_keys, pool_exp, visited, _ = jax.lax.while_loop(
-        cond, step, (pool_ids, pool_keys, pool_exp, visited, jnp.int32(0))
-    )
-    pool_ids = jnp.where(pool_keys > NEG_INF, pool_ids, -1)
-    return pool_keys, pool_ids, jnp.sum(visited, axis=1, dtype=jnp.int32)
+    return _beam_core(keyed_ids, graph, starts, valid, b,
+                      beam=beam, max_steps=max_steps, expand=expand)
 
 
 def beam_search_bf16(q, dev16, mean, xm, xc_sq, xsq_true, graph, starts,
@@ -470,6 +367,63 @@ def beam_search_bf16(q, dev16, mean, xm, xc_sq, xsq_true, graph, starts,
                                  starts, valid, metric_kind=metric_kind,
                                  beam=beam, max_steps=max_steps,
                                  expand=_resolve_expand(expand, beam))
+
+
+@partial(jax.jit, static_argnames=("metric_kind", "beam", "max_steps", "expand"))
+def _beam_search_sq8_jit(
+    q: jnp.ndarray,  # (B, D) f32
+    codes: jnp.ndarray,  # (N, D) int8 SQ8 codes (centered: u8 - 128)
+    lo: jnp.ndarray,  # (D,) f32 per-dim minimum
+    scale: jnp.ndarray,  # (D,) f32 per-dim step
+    row_sq: jnp.ndarray,  # (N,) TRUE squared norms (l2/cos terms)
+    graph: jnp.ndarray,  # (N, R) int32, -1 padded
+    starts: jnp.ndarray,  # (S,) or (B, S) int32 entry points
+    valid: jnp.ndarray,  # (N,) bool
+    *,
+    metric_kind: str,  # "ip" | "l2" | "cos"
+    beam: int,
+    max_steps: int,
+    expand: int,
+):
+    """SQ8-guided beam search — the MIDDLE layered tier.
+
+    Sits between bf16 guidance (2 bytes/dim, needs the full scan array
+    resident) and PQ guidance (M bytes/row, coarse): SQ8 codes cost 1
+    byte/dim, so a corpus whose bf16 copy exceeds HBM often still fits its
+    int8 codes + adjacency on device — and 8-bit per-dim guidance walks at
+    near-bf16 quality where PQ's subspace smearing collapses recall
+    (r4 streaming DISKANN-IP measured 0.709 vs the 0.90 floor under PQ
+    guidance). Decode never materializes: q.x_hat = (q*scale).c + const,
+    so each expansion is one einsum over gathered int8 rows.
+    """
+    b, d = q.shape
+    qs = q * scale[None, :]  # (B, D)
+    q_const = jnp.sum(q * (lo + 128.0 * scale)[None, :], axis=-1,
+                      keepdims=True)  # (B, 1) — q.(lo + 128*scale)
+
+    def keyed_ids(node_ids: jnp.ndarray) -> jnp.ndarray:
+        rows = codes[node_ids]  # (B, C, D) int8
+        ip_c = jnp.einsum("bd,bcd->bc", qs, rows.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        if metric_kind == "ip":
+            return ip_c  # + q_const (per-query, dropped)
+        rs = row_sq[node_ids]
+        if metric_kind == "l2":
+            return 2.0 * ip_c - rs  # 2*q_const is per-query, dropped
+        return (ip_c + q_const) * jax.lax.rsqrt(jnp.maximum(rs, 1e-30))
+
+    return _beam_core(keyed_ids, graph, starts, valid, b,
+                      beam=beam, max_steps=max_steps, expand=expand)
+
+
+def beam_search_sq8(q, codes, lo, scale, row_sq, graph, starts, valid, *,
+                    metric_kind: str, beam: int, max_steps: int,
+                    expand: int | None = None):
+    """See _beam_search_sq8_jit; resolves the ``expand`` default eagerly."""
+    return _beam_search_sq8_jit(q, codes, lo, scale, row_sq, graph, starts,
+                                valid, metric_kind=metric_kind, beam=beam,
+                                max_steps=max_steps,
+                                expand=_resolve_expand(expand, beam))
 
 
 @partial(jax.jit, static_argnames=("metric", "s"))

@@ -94,6 +94,15 @@ MIRROR_RAM_BYTES = int(_os.environ.get("LYNSE_TPU_MIRROR_RAM_BYTES", 16 * 1024**
 # flat_mmap.rs:89).
 HBM_BYTES = int(_os.environ.get("LYNSE_TPU_HBM_BYTES", 12 * 1024**3))
 STREAM_BLOCK_BYTES = int(_os.environ.get("LYNSE_TPU_STREAM_BLOCK_BYTES", 1 << 30))
+# Streaming-scan backpressure: total bf16 block bytes allowed in flight
+# before a sync point. Each sync is a tiny D2H fetch that costs a full
+# transport round trip (~33 ms through the dev tunnel,
+# benchmarks/dispatch_floor_r05.log) — syncing every other block made the
+# 1M/8-block streaming pass pay 4 RTTs per dispatch (r4: 143.9 ms/q
+# pipelined when the scans themselves were ~2 ms). Bounding by BYTES keeps
+# small passes sync-free while still capping in-flight HBM on 60M-scale
+# pumps.
+STREAM_INFLIGHT_BYTES = int(_os.environ.get("LYNSE_TPU_STREAM_INFLIGHT_BYTES", 3 << 30))
 
 
 def _alloc_rows(n_rows: int, dim: int, np_dtype) -> np.ndarray:
@@ -1265,6 +1274,7 @@ class DeviceCorpus:
         ], axis=1)
         state = jnp.asarray(init)
         mask = handle.mask if handle is not None else None
+        inflight = 0
         for bi, lo in enumerate(range(0, self.capacity, block_rows)):
             hi = min(lo + block_rows, self.capacity)
             vb = np.zeros(hi - lo, dtype=bool)
@@ -1291,8 +1301,10 @@ class DeviceCorpus:
                 state, jnp.int32(lo),
                 metric=metric, c=c, ascending=ascending, chunk=chunk,
             )
-            if bi % 2 == 1:
-                np.asarray(state[:1, :1])  # backpressure: cap queued blocks
+            inflight += (hi - lo) * self.dim * 2
+            if inflight >= STREAM_INFLIGHT_BYTES:
+                np.asarray(state[:1, :1])  # backpressure sync (1 RTT)
+                inflight = 0
         _kick_d2h(state)
 
         def resolve():

@@ -69,20 +69,25 @@ def main():
         print(f"FLAT streaming pipelined: {(time.perf_counter()-t0)/NQ*1e3:.2f} ms/q",
               flush=True)
 
-        # DiskANN streaming tier: PQ-guided beam + host-mirror rescore
+        # DiskANN streaming tiers: SQ8-guided (middle) and PQ-guided
+        # (deepest) beam + host-mirror rescore, same graph
         t0 = time.perf_counter()
         coll.build_index("DISKANN-IP", r=32, l=100)
         print(f"diskann build {time.perf_counter()-t0:.0f}s", flush=True)
-        coll.search(queries[0], k=K, nprobe=100)
-        hits = 0
-        t0 = time.perf_counter()
-        res = coll.batch_search(queries, K, nprobe=100)
-        d_s = time.perf_counter() - t0
-        for i in range(NQ):
-            got = set(int(x) for x in np.asarray(res[i].ids).tolist())
-            hits += len(got & set(gt[i].tolist()))
-        print(f"DISKANN-IP streaming(PQ beam): recall@10={hits/(NQ*K):.4f} "
-              f"batch{NQ} {d_s/NQ*1e3:.2f} ms/q", flush=True)
+        idx = coll._engine._index
+        for tier, hook in (("SQ8 beam", "_force_sq8"), ("PQ beam", "_force_pq")):
+            idx._force_sq8 = idx._force_pq = False
+            setattr(idx, hook, True)
+            coll.search(queries[0], k=K, nprobe=100)  # warm this tier
+            hits = 0
+            t0 = time.perf_counter()
+            res = coll.batch_search(queries, K, nprobe=100)
+            d_s = time.perf_counter() - t0
+            for i in range(NQ):
+                got = set(int(x) for x in np.asarray(res[i].ids).tolist())
+                hits += len(got & set(gt[i].tolist()))
+            print(f"DISKANN-IP streaming({tier}): recall@10={hits/(NQ*K):.4f} "
+                  f"batch{NQ} {d_s/NQ*1e3:.2f} ms/q", flush=True)
         client.close()
 
 

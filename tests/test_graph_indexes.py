@@ -247,12 +247,13 @@ def test_hnsw_incremental_insert_holds_recall(db, rng):
     assert hits / (15 * k) >= 0.9
 
 
-@pytest.mark.parametrize("tier", ["bf16", "pq"])
+@pytest.mark.parametrize("tier", ["bf16", "sq8", "pq"])
 def test_diskann_layered_pq_beam(db, graph_data, monkeypatch, tier):
     """Layered mode (reference diskann.rs:276/:602): guided beam + exact
     host-mirror rescore. The f32 corpus must never be staged on device, so
     the index keeps working when the corpus exceeds the device budget.
-    tier=bf16 is the resident-corpus guidance; tier=pq forces the streaming
+    tier=bf16 is the resident-corpus guidance; tier=sq8 forces the
+    streaming middle tier (1 byte/dim codes); tier=pq forces the deepest
     (>HBM) PQ guidance through the same engine path."""
     import lynsedb_tpu.index.diskann as da
 
@@ -266,6 +267,9 @@ def test_diskann_layered_pq_beam(db, graph_data, monkeypatch, tier):
     assert idx.layered and idx.pq_codes.shape == (len(data), idx.pq.m)
     if tier == "pq":
         idx._force_pq = True
+    elif tier == "sq8":
+        idx._force_sq8 = True
+        assert idx.sq8_codes is not None and idx.sq8_codes.shape == data.shape
 
     corpus = coll._engine.corpus()
     corpus._dev32 = None  # drop anything staged during build

@@ -167,10 +167,20 @@ def main() -> None:
         )
 
         # ── batched throughput (amortized HBM reads; fresh queries per rep
-        #    so transport-level memoization can't flatter the numbers) ─────
+        #    so transport-level memoization can't flatter the numbers).
+        #    Two warm calls per shape: the first-compiled executable only
+        #    reaches steady state on its second post-compile call
+        #    (benchmarks/topc_epilogue_r05.log). The sync row pays ~2
+        #    transport RTTs per batch (H2D ~30 ms + D2H ~33 ms through the
+        #    dev tunnel, benchmarks/dispatch_floor_r05.log); the pipelined
+        #    row overlaps those across batches via batch_search_submit —
+        #    the serving-shape number. ──────────────────────────────────────
+        eng = getattr(coll, "_engine", None)
         for batch in (16, 64, 256, 1024):
-            coll.batch_search(queries[:batch] if batch <= N_QUERIES else
-                              np.tile(queries, (batch // N_QUERIES + 1, 1))[:batch], k=K)
+            warm_q = (queries[:batch] if batch <= N_QUERIES else
+                      np.tile(queries, (batch // N_QUERIES + 1, 1))[:batch])
+            coll.batch_search(warm_q, k=K)
+            coll.batch_search(warm_q + np.float32(0.25), k=K)
             reps = 5
             qsets = [
                 rng.normal(size=(batch, D)).astype(np.float32) for _ in range(reps)
@@ -179,7 +189,18 @@ def main() -> None:
             for r in range(reps):
                 coll.batch_search(qsets[r], k=K)
             dt = (time.perf_counter() - t0) / reps
-            log(f"batch_search B={batch}: {dt * 1e3:.2f} ms/batch = {batch / dt:,.0f} QPS")
+            line = f"batch_search B={batch}: {dt * 1e3:.2f} ms/batch = {batch / dt:,.0f} QPS"
+            probe = eng.batch_search_submit(qsets[0][:1], 1) if eng is not None else None
+            if probe is not None:
+                probe()  # resolve the probe dispatch before timing
+                t0 = time.perf_counter()
+                resolvers = [eng.batch_search_submit(qsets[r], K) for r in range(reps)]
+                for r in resolvers:
+                    r()
+                dtp = (time.perf_counter() - t0) / reps
+                line += (f" | pipelined {dtp * 1e3:.2f} ms/batch = "
+                         f"{batch / dtp:,.0f} QPS")
+            log(line)
 
         # ── filtered search at full scale: 1M corpus, 10% bucket ≈ 100k
         #    subset (reference 1M filtered row, benchmarks.md:99-101; sits
@@ -296,23 +317,27 @@ def main() -> None:
             # server/mod.rs:5019) — sequential latency above can't see it
             from concurrent.futures import ThreadPoolExecutor
 
-            n_req, workers = 200, 16
-            # every request gets a DISTINCT vector (per-i perturbation):
-            # i % N_QUERIES repeats would let the server's SearchCache serve
-            # half the load and inflate the concurrent QPS
-            conc_q = (queries[np.arange(n_req) % N_QUERIES]
-                      + np.float32(1e-3) * np.arange(n_req)[:, None]).astype(np.float32)
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(  # warm the coalesced executable
-                    lambda i: hcoll.search(conc_q[i] + np.float32(0.5), k=K),
-                    range(workers)))
-                t0 = time.perf_counter()
-                list(pool.map(
-                    lambda i: hcoll.search(conc_q[i], k=K),
-                    range(n_req)))
-                conc_s = time.perf_counter() - t0
-            log(f"HTTP concurrent search (100k, {workers} threads): "
-                f"{1e3 * conc_s / n_req:.3f} ms/query | QPS {n_req / conc_s:,.0f}")
+            # closed-loop load: with W workers each waiting ~L ms per
+            # round trip, offered load caps at W/L — the 16-thread row is
+            # the like-for-like reference comparison; the higher tiers
+            # show throughput scaling as the micro-batcher's windows fill
+            for n_req, workers in ((200, 16), (600, 64), (1200, 128)):
+                # every request gets a DISTINCT vector (per-i perturbation):
+                # repeats would let the server's SearchCache serve half the
+                # load and inflate the concurrent QPS
+                conc_q = (queries[np.arange(n_req) % N_QUERIES]
+                          + np.float32(1e-3) * np.arange(n_req)[:, None]).astype(np.float32)
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    list(pool.map(  # warm the coalesced executable
+                        lambda i: hcoll.search(conc_q[i] + np.float32(0.5), k=K),
+                        range(workers)))
+                    t0 = time.perf_counter()
+                    list(pool.map(
+                        lambda i: hcoll.search(conc_q[i], k=K),
+                        range(n_req)))
+                    conc_s = time.perf_counter() - t0
+                log(f"HTTP concurrent search (100k, {workers} threads): "
+                    f"{1e3 * conc_s / n_req:.3f} ms/query | QPS {n_req / conc_s:,.0f}")
             srv.stop()
 
         client.close()

@@ -149,11 +149,15 @@ class HNSWIndex:
             # upper-layer rows gathered from the HOST mirror: staging them
             # from device f32 would force the 2x-HBM f32 corpus copy just to
             # read a few thousand subsample rows
-            self._dev = {
-                "layer0": jnp.asarray(self.layer0_np),
-                "upper_rows": [jnp.asarray(corpus.host_rows(layer["nodes"]))
-                               for layer in self.upper],
-            }
+            # only the FINEST upper layer is staged: upper layers are
+            # nested (a level-l node appears on every layer below it), so
+            # entry selection scans just that layer (see _descend)
+            self._dev = {"layer0": jnp.asarray(self.layer0_np)}
+            if self.upper:
+                nodes = self.upper[-1]["nodes"]
+                self._dev["upper_ids"] = jnp.asarray(nodes.astype(np.int32))
+                self._dev["upper_rows"] = jnp.asarray(
+                    np.asarray(corpus.host_rows(nodes), dtype=np.float32))
         return self._dev
 
     ENTRY_SAMPLE = 16384  # same sweep evidence as DiskANN (diskann.py)
@@ -175,20 +179,25 @@ class HNSWIndex:
             self._ip_entry_dev = (jnp.asarray(ids), jnp.asarray(rows))
         return self._ip_entry_dev
 
-    def _descend(self, q: np.ndarray, corpus) -> np.ndarray:
-        """Greedy descent through the (tiny) upper layers: exact scans over
-        the subsample nodes — small matmuls, no pointer chasing."""
-        from ..ops import distance as D
+    def _descend(self, q_dev: jnp.ndarray, corpus, live) -> jnp.ndarray:
+        """Entry selection: ONE exact scan over the finest upper layer's
+        nodes. Upper layers are nested (a level-l node appears on every
+        layer below it), so the finest layer's top picks dominate the
+        classic per-layer greedy descent — and the per-layer HOST FETCH
+        the old descent paid (np.asarray per layer = one ~33 ms transport
+        round trip each, 4-5 layers at 1M — the bulk of HNSW's 3x
+        sequential-latency gap vs DiskANN in GATES_r04) collapses to a
+        single async device dispatch. Returns a DEVICE (B, S) int32 that
+        flows into the beam without any host sync."""
+        from ..ops.graph import entry_scan
 
         dev = self._device(corpus)
-        best = np.full(q.shape[0], self.entry, dtype=np.int32)
-        for layer, rows in zip(self.upper, dev["upper_rows"]):
-            nodes = layer["nodes"]
-            qt = D.query_transform(jnp.asarray(q), self.metric)
-            scores = np.asarray(D.pairwise(qt, D.corpus_transform(rows, self.metric), self.metric))
-            pick = np.argmin(scores, axis=1) if self.metric.ascending else np.argmax(scores, axis=1)
-            best = nodes[pick].astype(np.int32)
-        return best
+        if "upper_ids" not in dev:
+            return jnp.full((q_dev.shape[0], 1), self.entry, dtype=jnp.int32)
+        ids = dev["upper_ids"]
+        s_top = int(min(4, ids.shape[0]))
+        return entry_scan(q_dev, dev["upper_rows"], ids, live,
+                          metric=self.metric, s=s_top)
 
     def search(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray], nprobe: int):
         metric = self.metric
@@ -209,14 +218,13 @@ class HNSWIndex:
             # +25% ef for raw MIPS (same evidence as DiskANN's IP oversample)
             ef = ef * 5 // 4
         q2 = np.atleast_2d(q.astype(np.float32))
-        entries = self._descend(q2, corpus)
         live = corpus.valid_mask(mask)[: self.built_rows]
-        # per-query entry points (B, 1): stable executable shape for any
-        # batch (a deduped shared set would recompile per distinct count).
-        # For IP the fixed high-norm starts are appended — (B, 1+S) is still
-        # a stable shape since S is fixed at build time.
-        starts = jnp.asarray(entries.astype(np.int32).reshape(-1, 1))
         qj = jnp.asarray(q2)
+        # per-query entry points (B, S): stable executable shape for any
+        # batch; the whole entry+beam chain stays on device (no host sync
+        # before the pool fetch). For IP the fixed high-norm starts are
+        # appended — still a stable shape since S is fixed at build time.
+        starts = self._descend(qj, corpus, live)
         if self.metric is Metric.IP:
             from ..ops.graph import entry_scan
 

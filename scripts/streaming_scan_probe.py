@@ -16,6 +16,10 @@ from pathlib import Path
 # 1M x 128 bf16 = 256 MB; budget 128 MB forces the streaming tier with
 # multiple blocks. Must be set before lynsedb_tpu import reads it.
 os.environ.setdefault("LYNSE_TPU_HBM_BYTES", str(128 * 1024 * 1024))
+# the probe re-asks the same 100 queries per tier; the result cache would
+# serve tier N+1 from tier N's answers (r05 run: the PQ-beam row measured
+# 0.02 ms/q — a cache hit, not the beam). Disable it for honest timings.
+os.environ["LYNSE_SEARCH_CACHE_SIZE"] = "0"
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))

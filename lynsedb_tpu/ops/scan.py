@@ -322,7 +322,7 @@ def _shortlist_ids(d: jnp.ndarray, i: jnp.ndarray, ascending: bool) -> jnp.ndarr
 NEG_INF_F32 = np.float32(-np.inf)  # host scalar: device constants stall tunnel lowering (see ops/distance.py:INF)
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "ascending", "pallas"))
+@partial(jax.jit, static_argnames=("metric", "k", "ascending"))
 def bf16_pass_ids(
     q: jnp.ndarray,
     x16: jnp.ndarray,
@@ -332,24 +332,23 @@ def bf16_pass_ids(
     metric: Metric,
     k: int,
     ascending: bool,
-    pallas: bool = False,
 ) -> jnp.ndarray:
     """Single-dispatch bf16 first pass over the full corpus: (B, C) int32
     shortlist ids, invalid slots -1. Shortlist selection rides approx_max_k
-    (exact host rescore follows). ``pallas=True`` swaps in the fused
-    one-HBM-pass Pallas kernel (LYNSE_TPU_PALLAS=1; see ops/pallas_scan.py)."""
-    if pallas:
-        from .pallas_scan import first_pass_topc
+    (exact host rescore follows).
 
-        d, i = first_pass_topc(q, x16, aux, valid, metric=metric, c=k,
-                               ascending=ascending)
-        return _shortlist_ids(d, i, ascending)
+    A hand-fused Pallas twin of this pass lived here for rounds 2-5 behind
+    LYNSE_TPU_PALLAS=1; its Mosaic compile never completed through the dev
+    tunnel in four timed attempts (benchmarks/pallas_probe_r0{4,5}.log)
+    while this XLA path sustains 1.6-2.3 ms per 1M x 128 B=256 scan
+    (benchmarks/topc_epilogue_r05.log), so the kernel was removed rather
+    than shipped unvalidated."""
     scores = _bf16_scores(q, x16, aux, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
     return _shortlist_ids(d, i, ascending)
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "ascending", "window", "pallas"))
+@partial(jax.jit, static_argnames=("metric", "k", "ascending", "window"))
 def bf16_pass_ids_window(
     qblock: jnp.ndarray,
     start: jnp.ndarray,
@@ -361,18 +360,11 @@ def bf16_pass_ids_window(
     k: int,
     ascending: bool,
     window: int,
-    pallas: bool = False,
 ) -> jnp.ndarray:
     """Streaming variant: the query stream is uploaded once as ``qblock``
     and each window slices it on device — one H2D per stream instead of one
     per window. Returns (window, C) int32 shortlist ids (invalid -1)."""
     q = jax.lax.dynamic_slice(qblock, (start, 0), (window, qblock.shape[1]))
-    if pallas:
-        from .pallas_scan import first_pass_topc
-
-        d, i = first_pass_topc(q, x16, aux, valid, metric=metric, c=k,
-                               ascending=ascending)
-        return _shortlist_ids(d, i, ascending)
     scores = _bf16_scores(q, x16, aux, metric)
     d, i = masked_top_c(scores, k, ascending, valid)
     return _shortlist_ids(d, i, ascending)
@@ -1019,13 +1011,6 @@ class DeviceCorpus:
 
     # ── search entry points ──────────────────────────────────────────────
 
-    def _use_pallas(self) -> bool:
-        """Fused Pallas first pass (LYNSE_TPU_PALLAS=1): single-chip TPU
-        only — the mesh path relies on XLA SPMD partitioning the XLA scan."""
-        from .pallas_scan import use_pallas
-
-        return use_pallas() and self.mesh is None
-
     def _shortlist_size(self, k: int, limit: int, oversample: int = 4) -> int:
         c = max(64, oversample * k) if k <= 64 else (
             2 * k if k <= 512 else int(1.25 * k))
@@ -1162,7 +1147,7 @@ class DeviceCorpus:
         valid = self.valid_mask(handle)
         out = bf16_pass_ids(
             qd, self._dev16, self.bf16_aux(), valid,
-            metric=metric, k=c, ascending=ascending, pallas=self._use_pallas(),
+            metric=metric, k=c, ascending=ascending,
         )
         _kick_d2h(out)
 
@@ -1196,7 +1181,6 @@ class DeviceCorpus:
         out = bf16_pass_ids_window(
             qblock_dev, jnp.int32(start), self._dev16, self.bf16_aux(), valid,
             metric=metric, k=c, ascending=metric.ascending, window=window,
-            pallas=self._use_pallas(),
         )
         _kick_d2h(out)
 

@@ -8,6 +8,10 @@ utils/poster.py RustRemoteSession). JSON wire format with the
 
 from __future__ import annotations
 
+import http.client
+import json as _json
+import threading
+import urllib.parse
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
@@ -28,9 +32,16 @@ class RemoteSession:
     def __init__(self, base_url: str, api_key: Optional[str] = None, timeout: float = 120.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.api_key = api_key
         self._session = requests.Session()
+        # requests' default urllib3 pool holds 10 connections; concurrent
+        # callers past that churn TCP setup per request
+        self._session.mount("http://", requests.adapters.HTTPAdapter(
+            pool_connections=8, pool_maxsize=160))
         if api_key:
             self._session.headers["Authorization"] = f"Bearer {api_key}"
+        self._parsed = urllib.parse.urlsplit(self.base_url)
+        self._local = threading.local()
 
     def get(self, endpoint: str, **kwargs):
         return self._session.get(self.base_url + endpoint, timeout=self.timeout, **kwargs)
@@ -42,8 +53,51 @@ class RemoteSession:
         resp.raise_for_error = lambda: _raise_on_error(resp)
         return resp
 
+    def post_raw(self, endpoint: str, body: bytes,
+                 content_type: str = "application/x-lynse-binary") -> tuple[int, bytes]:
+        """Hot-path POST over a THREAD-LOCAL keep-alive http.client
+        connection. requests.Session costs ~1.0 ms per call on a 1-core
+        host (adapter/hook machinery) and capped concurrent serving at
+        ~700 QPS; the raw keep-alive connection measures ~0.27 ms on the
+        same host, so the search wire rides it. One transparent retry on a
+        dropped keep-alive (server restart / idle timeout); non-http
+        schemes fall back to requests."""
+        if self._parsed.scheme != "http":
+            resp = self._session.post(
+                self.base_url + endpoint, data=body,
+                headers={"Content-Type": content_type}, timeout=self.timeout)
+            return resp.status_code, resp.content
+        headers = {"Content-Type": content_type,
+                   "Content-Length": str(len(body))}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        path = (self._parsed.path or "") + endpoint
+        for attempt in (0, 1):
+            conn = getattr(self._local, "conn", None)
+            if conn is None:
+                conn = http.client.HTTPConnection(
+                    self._parsed.hostname, self._parsed.port or 80,
+                    timeout=self.timeout)
+                self._local.conn = conn
+            try:
+                conn.request("POST", path, body=body, headers=headers)
+                r = conn.getresponse()
+                return r.status, r.read()
+            except (http.client.HTTPException, ConnectionError, OSError):
+                try:
+                    conn.close()
+                finally:
+                    self._local.conn = None
+                if attempt:
+                    raise
+        raise ExecutionError("unreachable")  # pragma: no cover
+
     def close(self):
         self._session.close()
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None
 
 
 def _raise_on_error(resp):
@@ -228,14 +282,14 @@ class Collection:
             },
             use_bin_type=True,
         )
-        resp = self._client._session._session.post(
-            self._client._session.base_url + endpoint,
-            data=body,
-            headers={"Content-Type": "application/x-lynse-binary"},
-            timeout=self._client._session.timeout,
-        )
-        _raise_on_error(resp)
-        return msgpack.unpackb(resp.content, raw=False, strict_map_key=False)
+        status, content = self._client._session.post_raw(endpoint, body)
+        if status != 200:
+            try:
+                msg = _json.loads(content).get("error", f"server error {status}")
+            except Exception:
+                msg = f"server error {status}"
+            raise ExecutionError(msg)
+        return msgpack.unpackb(content, raw=False, strict_map_key=False)
 
     @staticmethod
     def _decode_binary_ids(payload: dict):

@@ -9,19 +9,54 @@ exactly re-ranked from the f32 corpus on device.
 from __future__ import annotations
 
 import json
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..metrics import Metric
 from ..ops import quantize as Q
+from ..ops.scan import shortlist_device_rescore_ids
 from ..ops.topk import masked_top_c
 from ..storage.vector_store import write_atomic
 
 OVERSAMPLE = {"sq8": 4, "pq": 8, "rabitq": 16, "polarvec": 8}
 
 _METRIC_KIND = {Metric.IP: "ip", Metric.L2: "l2", Metric.COSINE: "cosine"}
+
+
+@partial(jax.jit, static_argnames=("kind", "metric", "s", "c", "dim_pad"))
+def _fused_search_ids(q, state, x16, aux, valid, *, kind, metric, s, c, dim_pad):
+    """One-dispatch quantized search: approximate int8/ADC code scan, top-S
+    shortlist, near-exact bf16 device rescore, top-C — the caller fetches a
+    single (B, C) int32 id block and finishes with the exact f32 host
+    rescore. Folding the query rotation (RaBitQ/PolarVec) in here also kills
+    the eager per-op dispatches the old path paid."""
+    mk = _METRIC_KIND[metric]
+    if kind == "sq8":
+        scores = Q.sq8_scores(
+            q, state["codes"], state["lo"], state["scale"], state["row_sq"], mk)
+    elif kind == "rabitq":
+        q_rot = Q.rotate(q, state["signs"], dim_pad)
+        q_sq = jnp.sum(q * q, axis=-1)
+        scores = Q.rabitq_scores(
+            q_rot, state["bits"], state["alpha"], state["row_sq"], q_sq, mk)
+    elif kind == "polarvec":
+        q_rot = Q.rotate(q, state["signs"], dim_pad)
+        q_sq = jnp.sum(q * q, axis=-1)
+        scores = Q.polarvec_scores(
+            q_rot, state["codes"], state["lo"], state["scale"],
+            state["row_sq"], q_sq, mk)
+    elif kind == "pq":
+        scores = Q.pq_scores(
+            q, state["codes"], state["codebooks"],
+            state["row_sq"], mk)
+    else:
+        raise ValueError(kind)
+    return shortlist_device_rescore_ids(
+        q, scores, x16, aux, valid, metric=metric, s=s, c=c)
 
 
 class AuxQuantIndex:
@@ -61,8 +96,8 @@ class AuxQuantIndex:
         if kind == "sq8":
             sq = Q.SQ8.fit(data)
             codes = sq.encode(data)
-            decoded_sq = (sq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
-            return {"codes": codes, "lo": sq.lo, "scale": sq.scale, "row_sq": decoded_sq}
+            return {"codes": codes, "lo": sq.lo, "scale": sq.scale,
+                    "row_sq": sq.row_sq_from_codes(codes)}
         if kind == "rabitq":
             rq = Q.RaBitQ.fit(data.shape[1])
             enc = rq.encode(data)
@@ -76,8 +111,8 @@ class AuxQuantIndex:
         if kind == "pq":
             pq = Q.PQ.fit(data, mode.pq_subspaces)
             codes = pq.encode(data)
-            row_sq = (pq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
-            return {"codes": codes, "codebooks": pq.codebooks, "row_sq": row_sq}
+            return {"codes": codes, "codebooks": pq.codebooks,
+                    "row_sq": pq.row_sq_from_codes(codes)}
         raise ValueError(f"unknown quantizer kind: {kind}")
 
     def _encode_tail(self, data: np.ndarray) -> dict:
@@ -86,8 +121,7 @@ class AuxQuantIndex:
         if self.kind == "sq8":
             sq = Q.SQ8(s["lo"], s["lo"] + s["scale"] * 255.0)
             codes = sq.encode(data)
-            row_sq = (sq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
-            return {"codes": codes, "row_sq": row_sq}
+            return {"codes": codes, "row_sq": sq.row_sq_from_codes(codes)}
         if self.kind == "rabitq":
             rq = Q.RaBitQ(s["signs"], data.shape[1], int(s["dim_pad"]))
             return rq.encode(data)
@@ -97,8 +131,7 @@ class AuxQuantIndex:
         if self.kind == "pq":
             pq = Q.PQ(s["codebooks"])
             codes = pq.encode(data)
-            row_sq = (pq.decode(codes).astype(np.float64) ** 2).sum(-1).astype(np.float32)
-            return {"codes": codes, "row_sq": row_sq}
+            return {"codes": codes, "row_sq": pq.row_sq_from_codes(codes)}
         raise ValueError(self.kind)
 
     # ── persistence ──────────────────────────────────────────────────────
@@ -151,24 +184,46 @@ class AuxQuantIndex:
                 q_rot, dev["codes"], dev["lo"], dev["scale"], dev["row_sq"], q_sq, kind
             )
         if self.kind == "pq":
-            return Q.pq_scores(qj, dev["codes"].astype(jnp.int32), dev["codebooks"], dev["row_sq"], kind)
+            return Q.pq_scores(qj, dev["codes"], dev["codebooks"], dev["row_sq"], kind)
         raise ValueError(self.kind)
+
+    def _shortlist_width(self, k: int, n_codes: int) -> int:
+        # scale-aware shortlist: a fixed k-multiple collapses at large N
+        # (80 of 1M rows missed the recall floors); the floor terms keep
+        # ~0.4% of the corpus in play, capped so the exact rescore stays cheap
+        return min(
+            max(k * OVERSAMPLE[self.kind], 1024, n_codes // 250),
+            n_codes, 16384,
+        )
 
     def search(self, coll, q: np.ndarray, k: int, nprobe: int = 0, mask: Optional[np.ndarray] = None):
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        n_codes = self.encoded_rows
+        corpus = coll.corpus()
+        if not corpus.streaming and n_codes >= coll.n_rows and n_codes > 0:
+            s = self._shortlist_width(k, n_codes)
+            c = min(s, max(64, 4 * k))
+            self.last_scanned = n_codes + s
+            out = _fused_search_ids(
+                jnp.asarray(q), self._device(), corpus.data16,
+                corpus.bf16_aux(), corpus.valid_mask(mask),
+                kind=self.kind, metric=self.metric, s=s, c=c,
+                dim_pad=int(self.state["dim_pad"]) if "dim_pad" in self.state else 0,
+            )
+            ids = np.asarray(out).astype(np.int64)  # the single host sync
+            return corpus._rescore_topk(q, ids, ids >= 0, self.metric, k)
+        return self._search_host(coll, q, k, mask)
+
+    def _search_host(self, coll, q: np.ndarray, k: int, mask: Optional[np.ndarray] = None):
+        """Two-fetch fallback: streaming corpora (no resident bf16 copy to
+        rescore from) and collections with an unencoded post-commit tail."""
         metric = self.metric
         corpus = coll.corpus()
         n_codes = self.encoded_rows
 
         scores = self._approx_scores(q)  # (B, n_codes)
         live = corpus.valid_mask(mask)[:n_codes]
-        # scale-aware shortlist: a fixed k-multiple collapses at large N
-        # (80 of 1M rows missed the recall floors); the floor terms keep
-        # ~0.4% of the corpus in play, capped so the exact rescore stays cheap
-        shortlist = min(
-            max(k * OVERSAMPLE[self.kind], 1024, n_codes // 250),
-            n_codes, 16384,
-        )
+        shortlist = self._shortlist_width(k, n_codes)
         # code scan touches every encoded row; shortlist rows get exact
         # rescored. Shortlist selection rides approx_max_k like the flat
         # two-pass (the exact re-rank + oversampling absorb its misses).

@@ -124,11 +124,40 @@ class SQ8:
         return cls(data.min(axis=0), data.max(axis=0))
 
     def encode(self, data: np.ndarray) -> np.ndarray:
-        u = np.clip(np.round((data - self.lo) / self.scale), 0, 255)
-        return (u - 128).astype(np.int8)
+        # chunked + in-place: the naive broadcast expression allocates six
+        # full-corpus temps and np.round is the slow path — measured 33.7 s
+        # at 1M x 128 on a 1-core host vs ~4 s chunked with np.rint
+        inv = (1.0 / self.scale).astype(np.float32)
+        neg_lo = (-self.lo).astype(np.float32)
+        out = np.empty(data.shape, dtype=np.int8)
+        for lo_i in range(0, data.shape[0], 131072):
+            hi = min(lo_i + 131072, data.shape[0])
+            u = (data[lo_i:hi] + neg_lo) * inv
+            np.rint(u, out=u)
+            np.clip(u, 0.0, 255.0, out=u)
+            u -= 128.0
+            out[lo_i:hi] = u.astype(np.int8)
+        return out
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         return (codes.astype(np.float32) + 128.0) * self.scale + self.lo
+
+    def row_sq_from_codes(self, codes: np.ndarray) -> np.ndarray:
+        """||decode(c)||^2 without materializing the decode: decoded_d =
+        a_d c_d + b_d, so the squared norm is (c^2)@a^2 + c@(2ab) + sum b^2
+        — three thin matvecs instead of a full-corpus f64 decode (54.6 s ->
+        ~2 s at 1M x 128)."""
+        a = self.scale.astype(np.float64)
+        b = (self.lo + 128.0 * self.scale).astype(np.float64)
+        a2 = (a * a).astype(np.float32)
+        ab2 = (2.0 * a * b).astype(np.float32)
+        bb = np.float32((b * b).sum())
+        out = np.empty(codes.shape[0], dtype=np.float32)
+        for lo_i in range(0, codes.shape[0], 131072):
+            hi = min(lo_i + 131072, codes.shape[0])
+            cf = codes[lo_i:hi].astype(np.float32)
+            out[lo_i:hi] = (cf * cf) @ a2 + cf @ ab2 + bb
+        return out
 
     def to_arrays(self):
         return {"lo": self.lo, "scale": self.scale}
@@ -174,10 +203,19 @@ class RaBitQ:
         return cls(rotation_signs(dim_pad, seed), dim, dim_pad)
 
     def encode(self, data: np.ndarray) -> dict:
-        rot = rotate_host(data, self.signs, self.dim_pad)
-        alpha = np.abs(rot).mean(axis=-1).astype(np.float32)
-        bits = np.where(rot > 0, 1, -1).astype(np.int8)
-        row_sq = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        n = data.shape[0]
+        bits = np.empty((n, self.dim_pad), dtype=np.int8)
+        alpha = np.empty(n, dtype=np.float32)
+        row_sq = np.empty(n, dtype=np.float32)
+        # chunked: full-corpus temps (7 FWHT passes + abs + sign) thrash a
+        # 1-core host's cache — 50.5 s full vs ~15 s at 131072-row chunks
+        for lo_i in range(0, n, 131072):
+            hi = min(lo_i + 131072, n)
+            blk = data[lo_i:hi]
+            rot = rotate_host(blk, self.signs, self.dim_pad)
+            alpha[lo_i:hi] = np.abs(rot).mean(axis=-1)
+            bits[lo_i:hi] = np.where(rot > 0, 1, -1)
+            row_sq[lo_i:hi] = np.einsum("ij,ij->i", blk, blk)
         return {"bits": bits, "alpha": alpha, "row_sq": row_sq}
 
 
@@ -212,19 +250,28 @@ class PolarVec:
         return cls(rotation_signs(_next_pow2(dim), seed), dim, _next_pow2(dim), bits)
 
     def encode(self, data: np.ndarray) -> dict:
-        rot = rotate_host(data, self.signs, self.dim_pad)
-        lo = rot.min(axis=-1).astype(np.float32)
-        hi = rot.max(axis=-1).astype(np.float32)
-        scale = ((hi - lo) / max(self.levels, 1)).astype(np.float32)
-        scale[scale == 0] = 1e-30
-        c = np.clip(np.round((rot - lo[:, None]) / scale[:, None]), 0, self.levels)
-        row_sq = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
-        return {
-            "codes": c.astype(np.int8),
-            "lo": lo,
-            "scale": scale,
-            "row_sq": row_sq,
-        }
+        n = data.shape[0]
+        codes = np.empty((n, self.dim_pad), dtype=np.int8)
+        lo_all = np.empty(n, dtype=np.float32)
+        scale_all = np.empty(n, dtype=np.float32)
+        row_sq = np.empty(n, dtype=np.float32)
+        for lo_i in range(0, n, 131072):
+            hi_i = min(lo_i + 131072, n)
+            blk = data[lo_i:hi_i]
+            rot = rotate_host(blk, self.signs, self.dim_pad)
+            lo = rot.min(axis=-1)
+            hi = rot.max(axis=-1)
+            scale = (hi - lo) / max(self.levels, 1)
+            scale[scale == 0] = 1e-30
+            rot -= lo[:, None]
+            rot /= scale[:, None]
+            np.rint(rot, out=rot)
+            np.clip(rot, 0.0, float(self.levels), out=rot)
+            codes[lo_i:hi_i] = rot.astype(np.int8)
+            lo_all[lo_i:hi_i] = lo
+            scale_all[lo_i:hi_i] = scale
+            row_sq[lo_i:hi_i] = np.einsum("ij,ij->i", blk, blk)
+        return {"codes": codes, "lo": lo_all, "scale": scale_all, "row_sq": row_sq}
 
 
 @partial(jax.jit, static_argnames=("metric_kind",))
@@ -261,6 +308,11 @@ class PQ:
         self.m = codebooks.shape[0]
         self.ds = codebooks.shape[2]
 
+    # codebooks train on a row sample: k-means quality saturates well below
+    # full-corpus size for 256 centroids (the standard PQ practice), and the
+    # full-1M fit dominated the 30 s reference build budget
+    TRAIN_SAMPLE = 131_072
+
     @classmethod
     def fit(cls, data: np.ndarray, n_subspaces: int | None = None, seed: int = 42) -> "PQ":
         from .kmeans import train_kmeans
@@ -269,6 +321,10 @@ class PQ:
         m = parse_n_subspaces(dim, n_subspaces)
         ds = dim // m
         k = min(256, max(2, n))
+        if n > cls.TRAIN_SAMPLE:
+            sel = np.random.default_rng(seed).choice(n, cls.TRAIN_SAMPLE, replace=False)
+            sel.sort()
+            data = data[sel]
         books = np.zeros((m, 256, ds), dtype=np.float32)
         for s in range(m):
             sub = np.ascontiguousarray(data[:, s * ds : (s + 1) * ds])
@@ -279,22 +335,37 @@ class PQ:
         return cls(books)
 
     def encode(self, data: np.ndarray) -> np.ndarray:
-        from .kmeans import assign_clusters
-
         n, dim = data.shape
-        codes = np.zeros((n, self.m), dtype=np.uint8)
-        chunk = 65536
-        n_pad = ((n + chunk - 1) // chunk) * chunk if n > chunk else n
-        for s in range(self.m):
-            sub = np.ascontiguousarray(data[:, s * self.ds : (s + 1) * self.ds])
-            if n_pad != n:
-                padded = np.zeros((n_pad, self.ds), dtype=np.float32)
-                padded[:n] = sub
-                sub = padded
-            a = np.asarray(assign_clusters(jnp.asarray(sub), jnp.asarray(self.codebooks[s]),
-                                           min(chunk, sub.shape[0])))[:n]
-            codes[:, s] = a.astype(np.uint8)
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        cb = jnp.asarray(self.codebooks)
+        # all M subspaces assign in ONE dispatch per row chunk (a per-subspace
+        # loop paid M dispatches + M small fetches per chunk — 256 tunnel
+        # round trips at 1M); chunk bounds the (M, C, 256) score block
+        chunk = 32768
+        for lo_i in range(0, n, chunk):
+            hi_i = min(lo_i + chunk, n)
+            blk = data[lo_i:hi_i].reshape(hi_i - lo_i, self.m, self.ds).transpose(1, 0, 2)
+            if hi_i - lo_i < chunk and n > chunk:
+                # pad the tail chunk so every dispatch reuses one executable
+                blk = np.concatenate(
+                    [blk, np.zeros((self.m, chunk - (hi_i - lo_i), self.ds), np.float32)],
+                    axis=1)
+            blk = np.ascontiguousarray(blk)
+            codes[lo_i:hi_i] = np.asarray(_pq_assign_all(jnp.asarray(blk), cb)).T[: hi_i - lo_i]
         return codes
+
+    def row_sq_norm_table(self) -> np.ndarray:
+        """(M, 256) per-subspace centroid squared norms: reconstructed row
+        norms are a gather-sum over this (subvectors are disjoint, so no
+        cross terms) — replaces the full-corpus decode."""
+        return np.einsum("mks,mks->mk", self.codebooks, self.codebooks).astype(np.float32)
+
+    def row_sq_from_codes(self, codes: np.ndarray) -> np.ndarray:
+        tab = self.row_sq_norm_table()
+        out = np.zeros(codes.shape[0], dtype=np.float32)
+        for s in range(self.m):
+            out += tab[s, codes[:, s]]
+        return out
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         n = codes.shape[0]
@@ -304,27 +375,57 @@ class PQ:
         return out
 
 
+@jax.jit
+def _pq_assign_all(sub_blocks: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-centroid codes for every subspace at once: (M, C, Ds) rows vs
+    (M, 256, Ds) codebooks -> (M, C) uint8 via one batched matmul."""
+    x2 = jnp.sum(sub_blocks * sub_blocks, axis=-1, keepdims=True)  # (M,C,1)
+    c2 = jnp.sum(codebooks * codebooks, axis=-1)  # (M,256)
+    ip = jnp.einsum("mcd,mkd->mck", sub_blocks, codebooks,
+                    preferred_element_type=jnp.float32)
+    d = x2 - 2.0 * ip + c2[:, None, :]
+    return jnp.argmin(d, axis=-1).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("metric_kind",))
 def pq_scores(
     q: jnp.ndarray,  # (B, D) f32 (D = M*Ds)
-    codes: jnp.ndarray,  # (N, M) int32
+    codes: jnp.ndarray,  # (N, M) uint8
     codebooks: jnp.ndarray,  # (M, 256, Ds)
     row_sq: jnp.ndarray,  # (N,) reconstructed squared norms
     metric_kind: str,
 ):
-    """ADC scan: build the (M, 256) LUT of per-subspace partial IPs with one
-    batched matmul, then gather-sum per row."""
+    """ADC scan as MXU work: build the (M, 256) LUT of per-subspace partial
+    IPs with one batched matmul, then evaluate the lookups as a NIBBLE
+    BILINEAR FORM instead of a gather — with c = 16*hi + lo,
+
+        LUT[m, c] = onehot(hi) @ LUT[m].reshape(16, 16) @ onehot(lo)
+
+    so the whole per-row gather-sum becomes two batched (N,16)x(16,16)
+    matmuls per subspace. TPU has no vector gather (take_along_axis lowers
+    to a serial dynamic-slice loop — measured ~140 ms per 1M x 16 query on
+    v5e, the whole r04 PQ latency); the bilinear form streams at matmul
+    bandwidth. The nibble one-hots are code-only (query-independent), so a
+    batch reuses them across queries."""
     b, d = q.shape
     m, k, ds = codebooks.shape
     q_sub = q.reshape(b, m, ds)
     # LUT[b, m, k] = <q_sub[b,m], codebook[m,k]>
     lut = jnp.einsum("bms,mks->bmk", q_sub, codebooks, preferred_element_type=jnp.float32)
-    # gather-sum: scores[b, n] = sum_m LUT[b, m, codes[n, m]]
-    def per_query(lut_q):
-        gathered = jnp.take_along_axis(lut_q.T, codes.astype(jnp.int32), axis=0)  # (N, M)
-        return jnp.sum(gathered, axis=-1)
+    # bf16 one-hots halve the HBM traffic on TPU; the CPU thunk runtime has
+    # no bf16xbf16 dot (UNIMPLEMENTED DotThunk), so tests ride f32
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    t = lut.reshape(b, m, 16, 16).astype(dt)
+    eye = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((codes >> 4).astype(jnp.int32)[:, :, None] == eye).astype(dt)
+    lo_oh = ((codes & 15).astype(jnp.int32)[:, :, None] == eye).astype(dt)
 
-    ip = jax.lax.map(per_query, lut)
+    def per_query(t_q):  # (M, 16, 16)
+        p = jnp.einsum("nma,mab->nmb", hi_oh, t_q,
+                       preferred_element_type=jnp.float32)  # (N, M, 16)
+        return jnp.einsum("nmb,nmb->n", p, lo_oh.astype(jnp.float32))
+
+    ip = jax.lax.map(per_query, t)
     if metric_kind == "ip":
         return ip
     q_sq = jnp.sum(q * q, axis=-1, keepdims=True)

@@ -401,6 +401,56 @@ def bf16_gather_pass_ids(
     return _shortlist_ids(d, i, ascending)
 
 
+@partial(jax.jit, static_argnames=("metric", "s", "c"))
+def shortlist_device_rescore_ids(
+    q: jnp.ndarray,
+    approx: jnp.ndarray,
+    x16: jnp.ndarray,
+    aux: dict,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    s: int,
+    c: int,
+) -> jnp.ndarray:
+    """Fused second stage for quantized shortlists: top-S by the approximate
+    (B, N) code-scan scores, near-exact bf16 rescore of those S rows gathered
+    from the resident centered corpus (same rank-1 correction math as
+    :func:`_bf16_scores`), then top-C — all one device chain, so the caller
+    fetches only a (B, C) int32 id block (~1 KB) instead of the (B, S)
+    shortlist (the D2H fetch is the sequential-latency floor through the
+    tunnel: 33 ms for any size up to ~1 KB, 55 ms at 64 KB —
+    benchmarks/dispatch_floor_r05.log). Reference fuses selection into its
+    scan loop the same way (src/storage/flat_mmap.rs:4876)."""
+    ascending = metric.ascending
+    n = approx.shape[1]
+    d1, cand = masked_top_c(approx, s, ascending, valid[:n])
+    keyed1 = -d1 if ascending else d1
+    ok = keyed1 > NEG_INF_F32
+    safe = jnp.where(ok, cand, 0).astype(jnp.int32)
+    rows = jnp.take(x16, safe, axis=0)  # (B, S, D) bf16 gather
+    qc = q - aux["mean"][None, :]
+    ip_c = jnp.einsum(
+        "bd,bsd->bs", qc.astype(jnp.bfloat16), rows,
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.IP:
+        sc = ip_c + jnp.take(aux["xm"], safe, axis=0)
+    elif metric is Metric.L2:
+        qc_sq = jnp.sum(qc * qc, axis=-1, keepdims=True)
+        sc = jnp.maximum(qc_sq + jnp.take(aux["xc_sq"], safe, axis=0) - 2.0 * ip_c, 0.0)
+    else:  # cosine: true numerator over true norms
+        num = ip_c + jnp.take(aux["xm"], safe, axis=0) + jnp.sum(
+            q * aux["mean"][None, :], axis=-1, keepdims=True)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        denom = jnp.sqrt(q_sq * jnp.take(aux["xsq_true"], safe, axis=0))
+        sc = jnp.where(denom < 1e-30, 1.0, 1.0 - num / jnp.maximum(denom, 1e-30))
+    d2, j = masked_top_k(sc, c, ascending, ok)
+    gid = jnp.take_along_axis(cand, j, axis=1)
+    keyed2 = -d2 if ascending else d2
+    return jnp.where(keyed2 > NEG_INF_F32, gid.astype(jnp.int32), jnp.int32(-1))
+
+
 @partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))
 def stream_block_packed(
     q: jnp.ndarray,

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..metrics import Metric
 from ..ops import quantize as Q
-from ..ops.scan import shortlist_device_rescore_ids
+from ..ops.scan import _batch_bucket, shortlist_device_rescore_ids
 from ..ops.topk import masked_top_c
 from ..storage.vector_store import write_atomic
 
@@ -200,17 +200,36 @@ class AuxQuantIndex:
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
         n_codes = self.encoded_rows
         corpus = coll.corpus()
+        if q.shape[0] > 64 and n_codes >= 262_144:
+            # bound the fused chain's HBM: (B, N) approx scores + the
+            # (B, S, D) rescore gather — 64-query slices keep both < 300 MB
+            parts = [self.search(coll, q[s : s + 64], k, nprobe, mask)
+                     for s in range(0, q.shape[0], 64)]
+            width = max(p[0].shape[1] for p in parts)
+
+            def padto(a, fill):
+                if a.shape[1] == width:
+                    return a
+                pad = np.full((a.shape[0], width - a.shape[1]), fill, a.dtype)
+                return np.concatenate([a, pad], axis=1)
+
+            return (np.concatenate([padto(p[0], 0.0) for p in parts]),
+                    np.concatenate([padto(p[1], -1) for p in parts]))
         if not corpus.streaming and n_codes >= coll.n_rows and n_codes > 0:
+            b = q.shape[0]
+            bucket = _batch_bucket(b)  # share executables across [1, 256]
+            qp = (np.concatenate([q, np.zeros((bucket - b, q.shape[1]), q.dtype)])
+                  if bucket != b else q)
             s = self._shortlist_width(k, n_codes)
             c = min(s, max(64, 4 * k))
             self.last_scanned = n_codes + s
             out = _fused_search_ids(
-                jnp.asarray(q), self._device(), corpus.data16,
+                jnp.asarray(qp), self._device(), corpus.data16,
                 corpus.bf16_aux(), corpus.valid_mask(mask),
                 kind=self.kind, metric=self.metric, s=s, c=c,
                 dim_pad=int(self.state["dim_pad"]) if "dim_pad" in self.state else 0,
             )
-            ids = np.asarray(out).astype(np.int64)  # the single host sync
+            ids = np.asarray(out)[:b].astype(np.int64)  # the single host sync
             return corpus._rescore_topk(q, ids, ids >= 0, self.metric, k)
         return self._search_host(coll, q, k, mask)
 

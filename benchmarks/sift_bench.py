@@ -123,7 +123,9 @@ def main() -> None:
         print("LYNSE_SIFT_DIR unset and this environment has no network "
               "egress: generating the labeled synthetic stand-in", file=sys.stderr)
         sift_dir = synth_sift(args.n, max(args.queries, 100))
-        dataset = "synthetic-sift-format (real SIFT1M unreachable: no egress)"
+        dataset = ("synthetic-sift-format, distribution-matched: 1024 clusters, "
+                   "sigma 24, integer-valued 0-255 like SIFT descriptors "
+                   "(real SIFT1M unreachable: no egress)")
 
     base = read_fvecs(str(Path(sift_dir) / "sift_base.fvecs"), limit=args.n)
     queries = read_fvecs(str(Path(sift_dir) / "sift_query.fvecs"), limit=args.queries)

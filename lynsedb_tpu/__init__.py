@@ -94,6 +94,7 @@ class VectorDBClient:
         uri: Union[str, None, Path] = None,
         api_key: str = None,
         read_only: bool = False,
+        timeout: float = 120.0,
     ):
         if isinstance(uri, Path):
             uri = uri.as_posix()
@@ -105,7 +106,10 @@ class VectorDBClient:
         if self._is_remote:
             from .api.http_client import RemoteSession
 
-            session = RemoteSession(base_url=uri, api_key=api_key)
+            # timeout: per-request read timeout. A cold server's first
+            # search absorbs the device executable compile (can exceed 120 s
+            # on a cold cache) — raise it for warm-up-heavy clients.
+            session = RemoteSession(base_url=uri, api_key=api_key, timeout=timeout)
             resp = session.get("/list_databases")
             if resp.status_code == 401:
                 session.close()

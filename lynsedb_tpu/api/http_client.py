@@ -83,7 +83,18 @@ class RemoteSession:
                 conn.request("POST", path, body=body, headers=headers)
                 r = conn.getresponse()
                 return r.status, r.read()
+            except TimeoutError:
+                # read timeout: the request reached the server and may still
+                # be executing — re-sending would double the load and hide
+                # the slowness; surface it like the requests path does
+                try:
+                    conn.close()
+                finally:
+                    self._local.conn = None
+                raise
             except (http.client.HTTPException, ConnectionError, OSError):
+                # dropped keep-alive (server restart / idle close): one
+                # transparent retry on a fresh connection
                 try:
                     conn.close()
                 finally:

@@ -32,7 +32,8 @@ queries = rng.standard_normal((256, D), dtype=np.float32)
 scratch = os.environ.get("BENCH_TMPDIR", str(Path(__file__).resolve().parent.parent))
 with tempfile.TemporaryDirectory(dir=scratch) as tmp:
     srv = BackgroundServer(os.path.join(tmp, "srv"), port=0)
-    hc = lynse.VectorDBClient(srv.url)
+    # first search absorbs the device executable compile on a cold cache
+    hc = lynse.VectorDBClient(srv.url, timeout=900.0)
     hdb = hc.create_database("hconc", drop_if_exists=True)
     hcoll = hdb.require_collection("v", dim=D)
     for start in range(0, N, 100_000):

@@ -29,17 +29,26 @@ rng = np.random.default_rng(0)
 hv = rng.standard_normal((N, D), dtype=np.float32)
 queries = rng.standard_normal((256, D), dtype=np.float32)
 
+def stage(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 scratch = os.environ.get("BENCH_TMPDIR", str(Path(__file__).resolve().parent.parent))
 with tempfile.TemporaryDirectory(dir=scratch) as tmp:
+    stage("starting server")
     srv = BackgroundServer(os.path.join(tmp, "srv"), port=0)
+    stage(f"server up at {srv.url}")
     # first search absorbs the device executable compile on a cold cache
     hc = lynse.VectorDBClient(srv.url, timeout=900.0)
     hdb = hc.create_database("hconc", drop_if_exists=True)
     hcoll = hdb.require_collection("v", dim=D)
-    for start in range(0, N, 100_000):
-        stop = min(start + 100_000, N)
+    stage("ingesting")
+    for start in range(0, N, 50_000):
+        stop = min(start + 50_000, N)
         hcoll.add(list(range(start, stop)), vectors=hv[start:stop])
+    stage("committing")
     hcoll.commit()
+    stage("warming")
     t0 = time.perf_counter()
     hcoll.search(queries[0], k=K)
     print(f"warm (compile + first search): {time.perf_counter()-t0:.2f}s", flush=True)

@@ -321,7 +321,7 @@ def main() -> None:
             # round trip, offered load caps at W/L — the 16-thread row is
             # the like-for-like reference comparison; the higher tiers
             # show throughput scaling as the micro-batcher's windows fill
-            for n_req, workers in ((200, 16), (600, 64), (1200, 128)):
+            for n_req, workers in ((200, 16), (600, 64), (1200, 128), (2560, 256)):
                 # every request gets a DISTINCT vector (per-i perturbation):
                 # repeats would let the server's SearchCache serve half the
                 # load and inflate the concurrent QPS

@@ -745,8 +745,10 @@ class Collection:
                 index_path = self._index.kind
                 scanned = getattr(self._index, "last_scanned", subset)
             elif self._aux_index is not None and not use_exact:
+                # pass the handle itself: its staged device mask is cached
+                # per corpus epoch, so repeat filtered queries skip the H2D
                 dists, ids = self._aux_index.search(
-                    self, q, k, nprobe=nprobe, mask=handle.mask if handle else None
+                    self, q, k, nprobe=nprobe, mask=handle
                 )
                 index_path = self._aux_index.kind
                 scanned = getattr(self._aux_index, "last_scanned", subset)

@@ -258,7 +258,10 @@ class AuxQuantIndex:
             tail_mask = np.zeros(coll.n_rows, dtype=bool)
             tail_mask[n_codes:] = True
             if mask is not None:
-                tail_mask &= mask[: coll.n_rows]
+                # mask may arrive as a cached FilterHandle (engine) or a
+                # raw bool array (direct callers)
+                host_mask = getattr(mask, "mask", mask)
+                tail_mask &= host_mask[: coll.n_rows]
             extra_d, extra_i = corpus.search(q, k, metric, filter_mask=tail_mask)
             if extra_i.shape[1]:
                 exact = np.concatenate(

@@ -517,3 +517,33 @@ def test_microbatcher_kwarg_only_exception_fans_out():
     outs = asyncio.run(main())
     assert len(outs) == 5
     assert all(isinstance(o, KwErr) and o.code == 7 for o in outs), outs
+
+
+def test_raw_transport_recovers_dropped_keepalive(server):
+    """The binary search wire rides a thread-local keep-alive http.client
+    connection (api/http_client.py post_raw). A server-side close between
+    requests must be retried transparently — exactly once — while a read
+    timeout must surface (the request may still be executing server-side)."""
+    c = lynse.VectorDBClient(server.url)
+    db = c.create_database("rawt", drop_if_exists=True)
+    coll = db.require_collection("v", dim=8, default_index=None)
+    vecs = np.eye(8, dtype=np.float32)
+    coll.add(list(range(8)), vectors=vecs)
+    coll.commit()
+    q = vecs[3]
+    ids1 = set(map(int, coll.search(q, k=2).ids.tolist()))
+    assert 3 in ids1
+    # drop the keep-alive behind the session's back: next call retries fresh
+    sess = c._session
+    conn = getattr(sess._local, "conn", None)
+    assert conn is not None, "binary search should have used the raw transport"
+    conn.close()
+    ids2 = set(map(int, coll.search(q, k=2).ids.tolist()))
+    assert ids2 == ids1
+    c.close()
+
+
+def test_client_timeout_plumbs_to_session(server):
+    c = lynse.VectorDBClient(server.url, timeout=7.5)
+    assert c._session.timeout == 7.5
+    c.close()

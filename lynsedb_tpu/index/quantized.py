@@ -158,13 +158,29 @@ class AuxQuantIndex:
 
     # ── search ───────────────────────────────────────────────────────────
 
-    def _device(self) -> dict:
+    def _device(self, corpus=None) -> dict:
         if self._dev is None:
-            self._dev = {
-                k: jnp.asarray(v)
-                for k, v in self.state.items()
-                if isinstance(v, np.ndarray) and v.ndim >= 1
-            }
+            mesh = getattr(corpus, "mesh", None)
+            if mesh is None:
+                self._dev = {
+                    k: jnp.asarray(v)
+                    for k, v in self.state.items()
+                    if isinstance(v, np.ndarray) and v.ndim >= 1
+                }
+            else:
+                # mesh mode: per-row arrays (codes/bits/row_sq/...) shard
+                # over the corpus axis like the scan copy; per-dim params
+                # (lo/scale/signs/codebooks) replicate — matching the
+                # fused search's sharded (B, N) score layout
+                from ..ops.scan import _put
+
+                rows = self.encoded_rows
+                self._dev = {
+                    k: _put(v, corpus._rows_sharding(v.ndim)
+                            if v.shape[0] == rows else corpus._repl_sharding())
+                    for k, v in self.state.items()
+                    if isinstance(v, np.ndarray) and v.ndim >= 1
+                }
         return self._dev
 
     def _approx_scores(self, q: np.ndarray) -> jnp.ndarray:
@@ -224,7 +240,7 @@ class AuxQuantIndex:
             c = min(s, max(64, 4 * k))
             self.last_scanned = n_codes + s
             out = _fused_search_ids(
-                jnp.asarray(qp), self._device(), corpus.data16,
+                corpus.stream_stage_queries(qp), self._device(corpus), corpus.data16,
                 corpus.bf16_aux(), corpus.valid_mask(mask),
                 kind=self.kind, metric=self.metric, s=s, c=c,
                 dim_pad=int(self.state["dim_pad"]) if "dim_pad" in self.state else 0,

@@ -207,3 +207,39 @@ def test_device_corpus_mesh_two_pass(mesh8, rng):
     want = np.argsort(-(q @ x.T), axis=1)[:, :k]
     for b in range(3):
         assert set(ids[b].tolist()) == set(want[b].tolist())
+
+
+def test_quantized_index_on_mesh_parity(tmp_path, mesh8):
+    """Quantized aux search over a sharded corpus: per-row state arrays
+    (codes/row_sq) shard over the corpus axis alongside the bf16 scan copy,
+    per-dim params replicate — the fused shortlist+rescore chain must
+    compile under GSPMD and match the single-device engine."""
+    import lynsedb_tpu as lynse
+    from lynsedb_tpu.parallel.mesh import set_default_mesh
+
+    rng = np.random.default_rng(23)
+    vecs = rng.random((800, 16), dtype=np.float32)
+
+    client = lynse.VectorDBClient(str(tmp_path / "mesh_q"))
+    db = client.create_database("d", drop_if_exists=True)
+    coll = db.require_collection("c", dim=16, drop_if_exists=True,
+                                 default_index=None)
+    assert coll._engine.corpus().mesh is mesh8
+    coll.add(list(range(800)), vectors=vecs)
+    coll.commit()
+    coll.build_index("FLAT-IP-SQ8")
+
+    set_default_mesh(None)
+    db2 = client.create_database("d2", drop_if_exists=True)
+    ref = db2.require_collection("c", dim=16, drop_if_exists=True,
+                                 default_index=None)
+    ref.add(list(range(800)), vectors=vecs)
+    ref.commit()
+    ref.build_index("FLAT-IP-SQ8")
+    set_default_mesh(mesh8)
+
+    for qi in (3, 99, 512):
+        a = coll.search(vecs[qi], k=5)
+        b = ref.search(vecs[qi], k=5)
+        assert a.ids.tolist() == b.ids.tolist()
+        np.testing.assert_allclose(a.distances, b.distances, rtol=1e-5)

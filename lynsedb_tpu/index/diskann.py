@@ -34,6 +34,8 @@ from ..ops.graph import (
     build_vamana,
     entry_sample_ids,
     entry_scan,
+    fetch_keys_pool_scanned,
+    fetch_pool_scanned,
     insert_points,
     prune_gathered,
     reconnect_orphans,
@@ -410,9 +412,8 @@ class DiskANNIndex:
                     aux["xsq_true"], self._graph(), sc, live,
                     metric_kind=guided, beam=beam, max_steps=beam * 2,
                 )
-                ids = np.asarray(pool, dtype=np.int64)
-                n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
-                return ids, corpus.rescore(q_np, ids, metric), n_sc
+                ids, n_sc = fetch_pool_scanned(pool, scanned)
+                return ids, corpus.rescore(q_np, ids, metric), n_sc + ids.shape[1]
             sq8_tier = (self._sq8_fits_device() and not getattr(self, "_force_pq", False)) \
                 or getattr(self, "_force_sq8", False)
             if self.layered and guided and sq8_tier:
@@ -427,9 +428,8 @@ class DiskANNIndex:
                     qc, c_d, lo_d, sc_d, rsq_d, self._graph(), sc, live,
                     metric_kind=guided, beam=beam_q, max_steps=beam_q * 2,
                 )
-                ids = np.asarray(pool, dtype=np.int64)
-                n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
-                return ids, corpus.rescore(q_np, ids, metric), n_sc
+                ids, n_sc = fetch_pool_scanned(pool, scanned)
+                return ids, corpus.rescore(q_np, ids, metric), n_sc + ids.shape[1]
             if self.layered and guided:
                 # deepest tier: PQ-guided beam (M bytes/row), alpha
                 # row-scale corrected + true-norm keys, exact rescore from
@@ -443,17 +443,14 @@ class DiskANNIndex:
                     sc, live,
                     metric_kind=guided, beam=beam_pq, max_steps=beam_pq * 2,
                 )
-                ids = np.asarray(pool, dtype=np.int64)
-                n_sc = int(np.asarray(scanned).max(initial=0)) + ids.shape[1]
-                return ids, corpus.rescore(q_np, ids, metric), n_sc
+                ids, n_sc = fetch_pool_scanned(pool, scanned)
+                return ids, corpus.rescore(q_np, ids, metric), n_sc + ids.shape[1]
             keys, ids, scanned = beam_search(
                 qc, corpus._data, self._graph(), sc, live,
                 metric=metric, beam=beam, max_steps=beam * 2, k=k,
             )
-            keys = np.asarray(keys)
-            return (np.asarray(ids, dtype=np.int64),
-                    -keys if metric.ascending else keys,
-                    int(np.asarray(scanned).max(initial=0)))
+            keys, ids, n_sc = fetch_keys_pool_scanned(keys, ids, scanned)
+            return ids, -keys if metric.ascending else keys, n_sc
 
         # the beam kernels carry a (b, n) visited bitmap on device — cap
         # the query sub-batch so it stays within budget (matters exactly

@@ -26,6 +26,8 @@ from ..ops.graph import (
     build_vamana,
     entry_sample_ids,
     exact_knn_graph,
+    fetch_keys_pool_scanned,
+    fetch_pool_scanned,
     insert_points,
 )
 from ..storage.vector_store import write_atomic
@@ -249,8 +251,7 @@ class HNSWIndex:
                 aux["xsq_true"], dev["layer0"], starts, live,
                 metric_kind=guided, beam=ef, max_steps=ef * 2,
             )
-            self.last_scanned = int(np.asarray(scanned).max(initial=0))
-            ids = np.asarray(pool, dtype=np.int64)
+            ids, self.last_scanned = fetch_pool_scanned(pool, scanned)
             dists = corpus.rescore(q2, ids, metric)
         else:
             keys, ids, scanned = beam_search(
@@ -264,9 +265,7 @@ class HNSWIndex:
                 max_steps=ef * 2,
                 k=k,
             )
-            self.last_scanned = int(np.asarray(scanned).max(initial=0))
-            keys = np.asarray(keys)
-            ids = np.asarray(ids, dtype=np.int64)
+            keys, ids, self.last_scanned = fetch_keys_pool_scanned(keys, ids, scanned)
             dists = -keys if metric.ascending else keys
 
         if self.built_rows < coll.n_rows:

@@ -28,6 +28,7 @@ import numpy as np
 from ..metrics import Metric
 from ..ops import distance as D
 from ..ops.kmeans import train_kmeans
+from ..ops.scan import _pack_ids, unpack_search_step
 from ..ops.topk import masked_top_k, merge_top_k
 from ..storage.vector_store import write_atomic
 
@@ -76,7 +77,9 @@ def _ivf_search_kernel(
         return d[0], orig[idx[0]]
 
     dists, ids = jax.lax.map(lambda args: one(*args), (q, blk))
-    return dists, ids
+    # pack (dists, id-hi, id-lo) into one (B, 3k) array: the caller pays ONE
+    # device->host fetch (~33 ms through the serving tunnel) instead of two
+    return _pack_ids(dists, ids)
 
 
 class IVFIndex:
@@ -269,7 +272,7 @@ class IVFIndex:
         )
         fill = min(self.built_rows / total_slots, 1.0)
         self.last_scanned = min(int(round(probed_slots * fill)), self.built_rows)
-        dists, ids = _ivf_search_kernel(
+        packed = _ivf_search_kernel(
             qj,
             dev["centroids"],
             dev["blocks"],
@@ -281,8 +284,7 @@ class IVFIndex:
             metric=metric,
             ascending=metric.ascending,
         )
-        dists = np.asarray(dists)
-        ids = np.asarray(ids, dtype=np.int64)
+        dists, ids = unpack_search_step(np.asarray(packed))  # one host sync
 
         # exact-scanned tail for rows added after build
         if self.built_rows < coll.n_rows:

@@ -1105,3 +1105,32 @@ def exact_knn_graph(rows: "jnp.ndarray", metric: Metric, r: int, block: int = 20
         idx = _knn_block(q, rows, lo, metric=metric, take=take)
         out[lo:hi, :take] = np.asarray(idx)[: hi - lo]
     return out
+
+
+def fetch_pool_scanned(pool, scanned) -> tuple[np.ndarray, int]:
+    """One host sync for a beam's (pool ids, scanned counters).
+
+    Fetching them separately costs two transport round trips (~33 ms each
+    through the serving tunnel — benchmarks/dispatch_floor_r05.log), and the
+    second one pays it for a PROFILE figure. Concatenating on device makes
+    the whole result one fetch. Returns (ids (B, P) int64, max scanned)."""
+    packed = np.asarray(jnp.concatenate(
+        [pool.astype(jnp.int32), scanned.astype(jnp.int32)[:, None]], axis=1))
+    return packed[:, :-1].astype(np.int64), int(packed[:, -1].max(initial=0))
+
+
+def fetch_keys_pool_scanned(keys, ids, scanned) -> tuple[np.ndarray, np.ndarray, int]:
+    """One host sync for an exact beam's (keys, ids, scanned). ids ride as
+    hi/lo f32 lanes (exact for ids up to 2^36 — plain f32 lanes corrupt row
+    ids past 2^24, i.e. >16.7M-row corpora); scanned is a telemetry counter
+    where f32 rounding past 2^24 is immaterial."""
+    idsi = ids.astype(jnp.int32)
+    packed = np.asarray(jnp.concatenate(
+        [keys.astype(jnp.float32),
+         (idsi >> 12).astype(jnp.float32),
+         (idsi & 0xFFF).astype(jnp.float32),
+         scanned.astype(jnp.float32)[:, None]], axis=1))
+    p = ids.shape[1]
+    hi = packed[:, p : 2 * p].astype(np.int64)
+    lo = packed[:, 2 * p : 3 * p].astype(np.int64)
+    return packed[:, :p], (hi << 12) | lo, int(packed[:, -1].max(initial=0))

@@ -906,11 +906,19 @@ class Collection:
         transport) dominates small windows while the fused scan's device
         time barely moves with window size (a full-corpus B=256 scan is
         ~2 ms on-chip, benchmarks/tpu_probe_r03.log), so streams use just
-        TWO window shapes — 16 for short streams, 128 otherwise — keeping
-        the chain count minimal and the compiled-executable set tiny."""
+        TWO window shapes — 16 for short streams, 64 otherwise — keeping
+        the chain count minimal and the compiled-executable set tiny.
+        64 (two co-flying windows per 128-query segment) rather than 128
+        (one): with both fetches kicked at submit, the second window's
+        dispatch+fetch overlaps the first window's fetch, hiding ~one
+        transport round trip per segment — measured 96.3 -> 82.4 ms per
+        100-query stream at 1M x 128 (and 68.8 -> 55.1 in a second weather
+        sample); splitting further LOSES because every extra chain pays
+        its own enqueue (benchmarks/stream_leg_probe_r05.log: 4x32 =
+        123.7 ms, 8x16 = 156.4 ms)."""
         q = np.ascontiguousarray(np.atleast_2d(np.asarray(vectors, dtype=np.float32)))
         if window is None:
-            window = 16 if len(q) <= 32 else 128
+            window = 16 if len(q) <= 32 else 64
         if self._index is not None or self._aux_index is not None or self.n_rows == 0:
             return [self.search(q[i], k, where=where) for i in range(len(q))]
         with self._lock:

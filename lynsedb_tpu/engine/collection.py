@@ -973,6 +973,15 @@ class Collection:
                         in_flight.append(partial(win_resolver, seg_q[s : s + window]))
                         if len(in_flight) > 2:
                             drain_one()
+            elif corpus.would_stream():
+                # >HBM streaming corpus: ONE submit for the whole stream —
+                # the blockwise scan chunks queries internally and every
+                # chunk shares a single corpus pump, so the stream pays the
+                # H2D floor once instead of once per window (r4: windowed
+                # submits cost a full 256 MB pump EACH at 1M x 128)
+                in_flight.append(
+                    corpus.search_submit(q[:n_q], k, metric, filter_mask=handle)
+                )
             else:
                 for s in range(0, n_pad, window):
                     in_flight.append(

@@ -1242,8 +1242,13 @@ class DeviceCorpus:
 
     def _stream_block_rows(self, b: int) -> int:
         by_bytes = STREAM_BLOCK_BYTES // (self.dim * 2)
+        # honor the HBM budget: two block buffers may be in flight (≤ 1/4
+        # each) and the (b, block) f32 score scratch gets the other half
+        by_hbm = (HBM_BYTES // 4) // (self.dim * 2)
+        by_scratch = (HBM_BYTES // 2) // (4 * max(b, 1))
         by_budget = SINGLE_SHOT_BUDGET // max(b, 1)
-        return max(ROW_BLOCK, (min(by_bytes, by_budget) // ROW_BLOCK) * ROW_BLOCK)
+        rows = min(by_bytes, by_hbm, by_scratch, by_budget)
+        return max(ROW_BLOCK, (rows // ROW_BLOCK) * ROW_BLOCK)
 
     def _stream_scan_submit(self, q: np.ndarray, k: int, metric: Metric,
                             handle, oversample: int = 4):
@@ -1297,21 +1302,40 @@ class DeviceCorpus:
 
         c = self._shortlist_size(k, self.n, oversample)
         self.last_scanned = self.n + c
-        block_rows = self._stream_block_rows(b)
+        # Fixed query-chunk shape: every chunk reuses ONE compiled executable
+        # and — the whole point of this structure — every chunk scans the
+        # SAME staged block, so the corpus is pumped over the transport ONCE
+        # per pass no matter how many queries ride it. (The H2D pump is the
+        # streaming-mode floor: ~256 MB at the tunnel's ~134-270 MB/s for
+        # 1M x 128 bf16, benchmarks/stream_leg_probe_r05.log staging line.)
+        qc = 16 if b <= 16 else 64
+        n_chunks = (b + qc - 1) // qc
+        q_pad = q
+        if n_chunks * qc != b:
+            q_pad = np.concatenate(
+                [q, np.zeros((n_chunks * qc - b, q.shape[1]), q.dtype)])
+        block_rows = self._stream_block_rows(qc)
         chunk = min(ELEMWISE_CHUNK, block_rows)
-        qd = jnp.asarray(q)
+        qds = [jnp.asarray(q_pad[j * qc : (j + 1) * qc]) for j in range(n_chunks)]
         fill = np.inf if ascending else -np.inf
-        init = np.concatenate([
-            np.full((b, c), fill, np.float32),
-            np.full((b, c), -1.0, np.float32),   # id hi of -1
-            np.full((b, c), 4095.0, np.float32),  # id lo of -1
-        ], axis=1)
-        state = jnp.asarray(init)
+        init = jnp.asarray(np.concatenate([
+            np.full((qc, c), fill, np.float32),
+            np.full((qc, c), -1.0, np.float32),   # id hi of -1
+            np.full((qc, c), 4095.0, np.float32),  # id lo of -1
+        ], axis=1))
+        states = [init] * n_chunks
+        mean_d = jnp.asarray(self._mean_np)
         mask = handle.mask if handle is not None else None
+        block_bytes = block_rows * self.dim * 2
+        # backpressure: a tiny D2H sync costs a transport round trip (~33 ms,
+        # benchmarks/dispatch_floor_r05.log) but bounds in-flight block
+        # buffers; two blocks in flight keeps H2D(i+1) overlapping scan(i)
+        # while honoring the HBM budget
+        inflight_limit = min(STREAM_INFLIGHT_BYTES, max(2 * block_bytes, HBM_BYTES // 2))
         inflight = 0
-        for bi, lo in enumerate(range(0, self.capacity, block_rows)):
+        for lo in range(0, self.capacity, block_rows):
             hi = min(lo + block_rows, self.capacity)
-            vb = np.zeros(hi - lo, dtype=bool)
+            vb = np.zeros(block_rows, dtype=bool)
             live = min(self.n, hi) - lo
             if live > 0:
                 vb[:live] = True
@@ -1323,26 +1347,42 @@ class DeviceCorpus:
                     if m_hi > lo:
                         vb[: m_hi - lo] &= mask[lo:m_hi]
                     if m_hi < hi:
-                        vb[max(m_hi - lo, 0):] = False
+                        vb[max(m_hi - lo, 0) : hi - lo] = False
+            x16 = self._host16[lo:hi]
+            xm = self._xm_host[lo:hi]
+            xc_sq = self._sq_host[lo:hi]
+            xsq_true = self._xsqtrue_host[lo:hi]
+            if hi - lo < block_rows:  # pad the tail block: ONE compiled shape
+                pad = block_rows - (hi - lo)
+                x16 = np.concatenate([x16, np.zeros((pad, self.dim), x16.dtype)])
+                xm = np.concatenate([xm, np.zeros(pad, np.float32)])
+                xc_sq = np.concatenate([xc_sq, np.zeros(pad, np.float32)])
+                xsq_true = np.concatenate([xsq_true, np.zeros(pad, np.float32)])
             blk_aux = {
-                "mean": jnp.asarray(self._mean_np),
-                "xm": jnp.asarray(self._xm_host[lo:hi]),
-                "xc_sq": jnp.asarray(self._sq_host[lo:hi]),
-                "xsq_true": jnp.asarray(self._xsqtrue_host[lo:hi]),
+                "mean": mean_d,
+                "xm": jnp.asarray(xm),
+                "xc_sq": jnp.asarray(xc_sq),
+                "xsq_true": jnp.asarray(xsq_true),
             }
-            state = stream_block_packed(
-                qd, jnp.asarray(self._host16[lo:hi]), blk_aux, jnp.asarray(vb),
-                state, jnp.int32(lo),
-                metric=metric, c=c, ascending=ascending, chunk=chunk,
-            )
-            inflight += (hi - lo) * self.dim * 2
-            if inflight >= STREAM_INFLIGHT_BYTES:
-                np.asarray(state[:1, :1])  # backpressure sync (1 RTT)
+            x16_d = jnp.asarray(x16)
+            vb_d = jnp.asarray(vb)
+            base = jnp.int32(lo)
+            for j in range(n_chunks):
+                states[j] = stream_block_packed(
+                    qds[j], x16_d, blk_aux, vb_d, states[j], base,
+                    metric=metric, c=c, ascending=ascending, chunk=chunk,
+                )
+            inflight += block_bytes
+            if inflight >= inflight_limit:
+                np.asarray(states[-1][:1, :1])  # backpressure sync (1 RTT)
                 inflight = 0
-        _kick_d2h(state)
+        for st in states:
+            _kick_d2h(st)
 
         def resolve():
-            proxy, ids = unpack_search_step(np.asarray(state))
+            parts = [unpack_search_step(np.asarray(st)) for st in states]
+            proxy = np.concatenate([p[0] for p in parts], axis=0)[:b]
+            ids = np.concatenate([p[1] for p in parts], axis=0)[:b]
             keep = _keep_mask(proxy, ascending)
             return self._rescore_topk(q, ids, keep, metric, k)
 

@@ -56,22 +56,27 @@ def main():
         print(f"streaming={corpus.streaming} budget={os.environ['LYNSE_TPU_HBM_BYTES']}",
               flush=True)
         assert corpus.streaming, "corpus did not enter streaming mode"
+        res = coll.batch_search(queries, K)  # warm the batch chunk shape
         hits = 0
-        t0 = time.perf_counter()
-        res = coll.batch_search(queries, K)
-        batch_s = time.perf_counter() - t0
+        batch_s = float("inf")
+        for _ in range(2):  # best-of-2: tunnel weather
+            t0 = time.perf_counter()
+            res = coll.batch_search(queries, K)
+            batch_s = min(batch_s, time.perf_counter() - t0)
         for i in range(NQ):
             got = set(int(x) for x in np.asarray(res[i].ids).tolist())
             hits += len(got & set(gt[i].tolist()))
         print(f"FLAT streaming: recall@10={hits/(NQ*K):.4f} "
               f"batch{NQ} {batch_s/NQ*1e3:.2f} ms/q", flush=True)
 
-        # pipelined stream axis over the streaming tier
+        # pipelined stream axis over the streaming tier (shares one pump)
         coll.search_stream(queries, k=K)
-        t0 = time.perf_counter()
-        coll.search_stream(queries, k=K)
-        print(f"FLAT streaming pipelined: {(time.perf_counter()-t0)/NQ*1e3:.2f} ms/q",
-              flush=True)
+        stream_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            coll.search_stream(queries, k=K)
+            stream_s = min(stream_s, time.perf_counter() - t0)
+        print(f"FLAT streaming pipelined: {stream_s/NQ*1e3:.2f} ms/q", flush=True)
 
         # DiskANN streaming tiers: SQ8-guided (middle) and PQ-guided
         # (deepest) beam + host-mirror rescore, same graph

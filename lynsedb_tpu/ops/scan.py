@@ -1305,9 +1305,11 @@ class DeviceCorpus:
         # Fixed query-chunk shape: every chunk reuses ONE compiled executable
         # and — the whole point of this structure — every chunk scans the
         # SAME staged block, so the corpus is pumped over the transport ONCE
-        # per pass no matter how many queries ride it. (The H2D pump is the
-        # streaming-mode floor: ~256 MB at the tunnel's ~134-270 MB/s for
-        # 1M x 128 bf16, benchmarks/stream_leg_probe_r05.log staging line.)
+        # per pass no matter how many queries ride it. The pump IS the
+        # streaming-mode floor (dev tunnel: ~20 MB/s blocked H2D, 12.5 s for
+        # a 1M x 128 bf16 corpus — benchmarks/dispatch_floor_r05.log h2d
+        # bandwidth rows; direct-attached TPU hosts move this at PCIe/DMA
+        # rates instead), and it amortizes across the whole query stream.
         qc = 16 if b <= 16 else 64
         n_chunks = (b + qc - 1) // qc
         q_pad = q

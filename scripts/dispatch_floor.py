@@ -97,6 +97,25 @@ def main() -> None:
     med, p10, p90 = timed(chain4)
     print(f"chain4   : {med:7.3f} ms (p10 {p10:.3f} / p90 {p90:.3f})", flush=True)
 
+    # h2d BANDWIDTH (blocked device_put), the >HBM streaming-scan floor:
+    # a streaming pass must move the whole bf16 corpus over this link, so
+    # ms/query = corpus_bytes / bandwidth / stream_length + engine time.
+    # (The r05 leg probe's "staged in 1.91s" timed only the async enqueue.)
+    import ml_dtypes
+
+    for mb in (8, 32, 256):
+        n = mb * 1024 * 1024 // 256
+        a16 = np.zeros((n, 128), dtype=ml_dtypes.bfloat16)
+        best = float("inf")
+        for _ in range(3 if mb <= 32 else 2):
+            t0 = time.perf_counter()
+            d = jax.device_put(a16)
+            jax.block_until_ready(d)
+            best = min(best, time.perf_counter() - t0)
+            del d
+        print(f"h2d {mb:4d}MB: {best*1e3:9.1f} ms -> {mb/best:7.1f} MB/s",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -451,8 +451,7 @@ def shortlist_device_rescore_ids(
     return jnp.where(keyed2 > NEG_INF_F32, gid.astype(jnp.int32), jnp.int32(-1))
 
 
-@partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))
-def stream_block_packed(
+def _stream_block_body(
     q: jnp.ndarray,
     x16: jnp.ndarray,
     aux: dict,
@@ -489,6 +488,42 @@ def stream_block_packed(
         ascending,
     )
     return _pack_ids(md, mi)
+
+
+stream_block_packed = partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))(
+    _stream_block_body
+)
+
+
+@partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))
+def stream_block_packed_multi(
+    qs: jnp.ndarray,
+    x16: jnp.ndarray,
+    aux: dict,
+    valid: jnp.ndarray,
+    prev: jnp.ndarray,
+    base: jnp.ndarray,
+    *,
+    metric: Metric,
+    c: int,
+    ascending: bool,
+    chunk: int,
+) -> jnp.ndarray:
+    """Advance EVERY query chunk's carried state across one corpus block in
+    a single dispatch: lax.map over the chunk axis keeps the score scratch
+    one chunk wide ((qc, block) at a time) while collapsing the per-chunk
+    dispatch overhead — through the dev tunnel each extra dispatch
+    referencing the staged block costs real enqueue time, which dominated
+    long streams (1000 queries = 16 chunks x 8 blocks = 128 dispatches ran
+    31.6 s when the corpus pump itself is ~12 s)."""
+    def step(operand):
+        q, p = operand
+        return _stream_block_body(
+            q, x16, aux, valid, p, base,
+            metric=metric, c=c, ascending=ascending, chunk=chunk,
+        )
+
+    return jax.lax.map(step, (qs, prev))
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk"))
@@ -1318,14 +1353,14 @@ class DeviceCorpus:
                 [q, np.zeros((n_chunks * qc - b, q.shape[1]), q.dtype)])
         block_rows = self._stream_block_rows(qc)
         chunk = min(ELEMWISE_CHUNK, block_rows)
-        qds = [jnp.asarray(q_pad[j * qc : (j + 1) * qc]) for j in range(n_chunks)]
+        qs = jnp.asarray(q_pad.reshape(n_chunks, qc, q.shape[1]))
         fill = np.inf if ascending else -np.inf
-        init = jnp.asarray(np.concatenate([
+        init = np.concatenate([
             np.full((qc, c), fill, np.float32),
             np.full((qc, c), -1.0, np.float32),   # id hi of -1
             np.full((qc, c), 4095.0, np.float32),  # id lo of -1
-        ], axis=1))
-        states = [init] * n_chunks
+        ], axis=1)
+        state = jnp.asarray(np.broadcast_to(init, (n_chunks,) + init.shape))
         mean_d = jnp.asarray(self._mean_np)
         mask = handle.mask if handle is not None else None
         block_bytes = block_rows * self.dim * 2
@@ -1366,25 +1401,21 @@ class DeviceCorpus:
                 "xc_sq": jnp.asarray(xc_sq),
                 "xsq_true": jnp.asarray(xsq_true),
             }
-            x16_d = jnp.asarray(x16)
-            vb_d = jnp.asarray(vb)
-            base = jnp.int32(lo)
-            for j in range(n_chunks):
-                states[j] = stream_block_packed(
-                    qds[j], x16_d, blk_aux, vb_d, states[j], base,
-                    metric=metric, c=c, ascending=ascending, chunk=chunk,
-                )
+            state = stream_block_packed_multi(
+                qs, jnp.asarray(x16), blk_aux, jnp.asarray(vb), state,
+                jnp.int32(lo),
+                metric=metric, c=c, ascending=ascending, chunk=chunk,
+            )
             inflight += block_bytes
             if inflight >= inflight_limit:
-                np.asarray(states[-1][:1, :1])  # backpressure sync (1 RTT)
+                np.asarray(state[:1, :1, :1])  # backpressure sync (1 RTT)
                 inflight = 0
-        for st in states:
-            _kick_d2h(st)
+        _kick_d2h(state)
 
         def resolve():
-            parts = [unpack_search_step(np.asarray(st)) for st in states]
-            proxy = np.concatenate([p[0] for p in parts], axis=0)[:b]
-            ids = np.concatenate([p[1] for p in parts], axis=0)[:b]
+            flat = np.asarray(state).reshape(n_chunks * qc, 3 * c)
+            proxy, ids = unpack_search_step(flat)
+            proxy, ids = proxy[:b], ids[:b]
             keep = _keep_mask(proxy, ascending)
             return self._rescore_topk(q, ids, keep, metric, k)
 

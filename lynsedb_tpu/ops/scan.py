@@ -490,11 +490,6 @@ def _stream_block_body(
     return _pack_ids(md, mi)
 
 
-stream_block_packed = partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))(
-    _stream_block_body
-)
-
-
 @partial(jax.jit, static_argnames=("metric", "c", "ascending", "chunk"))
 def stream_block_packed_multi(
     qs: jnp.ndarray,

@@ -1336,7 +1336,7 @@ class DeviceCorpus:
         # and — the whole point of this structure — every chunk scans the
         # SAME staged block, so the corpus is pumped over the transport ONCE
         # per pass no matter how many queries ride it. The pump IS the
-        # streaming-mode floor (dev tunnel: ~20 MB/s blocked H2D, 12.5 s for
+        # streaming-mode floor (dev tunnel: ~20-47 MB/s blocked H2D (weather-dependent), 5.5-12.5 s for
         # a 1M x 128 bf16 corpus — benchmarks/dispatch_floor_r05.log h2d
         # bandwidth rows; direct-attached TPU hosts move this at PCIe/DMA
         # rates instead), and it amortizes across the whole query stream.

@@ -2,7 +2,7 @@
 
   1. 1000-query stream amortization — the blockwise pass pumps the corpus
      over the transport ONCE per pass, so ms/q scales ~1/stream_len down
-     to the pump floor (dev tunnel: ~20 MB/s blocked H2D,
+     to the pump floor (dev tunnel: ~20-47 MB/s blocked H2D,
      benchmarks/dispatch_floor_r05.log h2d bandwidth rows).
   2. FLAT-IP-SQ8 aux tier — the 4x-smaller int8 codes stay device-resident
      while the raw corpus exceeds the HBM budget; searches run a resident

@@ -104,6 +104,17 @@ STREAM_BLOCK_BYTES = int(_os.environ.get("LYNSE_TPU_STREAM_BLOCK_BYTES", 1 << 30
 # pumps.
 STREAM_INFLIGHT_BYTES = int(_os.environ.get("LYNSE_TPU_STREAM_INFLIGHT_BYTES", 3 << 30))
 
+# When the f32 device copy fits the HBM budget alongside the bf16 scan array
+# (6 bytes/element total), the exact second pass runs ON DEVICE fused into
+# the first-pass dispatch, and the host fetches only the packed (B, 3k)
+# result (~kB). With host rescore the fetch is the (B, C) int32 shortlist —
+# 256 KB at B=256/C=256, which costs ~55 ms through the dev tunnel
+# (benchmarks/dispatch_floor_r05.log: 33 ms floor + ~11 MB/s) and was the
+# entire batch-search budget (BENCH: 64.8 ms/batch pipelined when the scan
+# itself is 1.9 ms). Reference fuses selection + exact scoring into its scan
+# loop the same way (src/storage/flat_mmap.rs:4876 fused_topk_parallel).
+DEVICE_RESCORE = _os.environ.get("LYNSE_TPU_DEVICE_RESCORE", "1") != "0"
+
 
 def _alloc_rows(n_rows: int, dim: int, np_dtype) -> np.ndarray:
     """RAM array below MIRROR_RAM_BYTES, anonymous-temp-file memmap above."""
@@ -449,6 +460,151 @@ def shortlist_device_rescore_ids(
     gid = jnp.take_along_axis(cand, j, axis=1)
     keyed2 = -d2 if ascending else d2
     return jnp.where(keyed2 > NEG_INF_F32, gid.astype(jnp.int32), jnp.int32(-1))
+
+
+def _exact_rescore_packed_body(
+    q: jnp.ndarray,
+    x16: jnp.ndarray,
+    aux: dict,
+    x32: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    c: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    """Fused two-pass search, all on device: bf16 proxy scan -> top-C
+    shortlist -> exact f32 rescore of the gathered shortlist rows -> stable
+    (score, id)-ordered top-k -> packed (B, 3k). One dispatch chain, one
+    ~kB D2H fetch — replaces the (B, C) shortlist fetch + host-mirror
+    rescore whose transfer alone cost the whole batch budget through the
+    dev tunnel (see DEVICE_RESCORE above). Score math mirrors
+    :func:`host_exact_scores` term-for-term; the tie order mirrors
+    :func:`DeviceCorpus._rescore_topk`'s lexsort (best score first, lower
+    id wins ties)."""
+    scores = _bf16_scores(q, x16, aux, metric)
+    d1, cand = masked_top_c(scores, c, ascending, valid)
+    keyed1 = -d1 if ascending else d1
+    ok = keyed1 > NEG_INF_F32
+    safe = jnp.where(ok, cand, 0).astype(jnp.int32)
+    return _rescore_sort_pack(q, x32, safe, ok, metric=metric, k=k,
+                              ascending=ascending)
+
+
+def _rescore_sort_pack(
+    q: jnp.ndarray,
+    x32: jnp.ndarray,
+    safe: jnp.ndarray,
+    ok: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    """Exact f32 rescore of a (B, C) global-id shortlist gathered from the
+    resident f32 corpus, stable (score, id)-ordered top-k, packed (B, 3k)."""
+    rows = jnp.take(x32, safe, axis=0)  # (B, C, D) f32 gather
+    ip = jnp.einsum("bd,bcd->bc", q, rows, precision=jax.lax.Precision.HIGHEST)
+    if metric is Metric.IP:
+        exact = ip
+    else:
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        r_sq = jnp.sum(rows * rows, axis=-1)
+        if metric is Metric.L2:
+            exact = jnp.maximum(q_sq + r_sq - 2.0 * ip, 0.0)
+        else:  # cosine
+            denom = jnp.sqrt(q_sq * r_sq)
+            exact = jnp.where(denom < 1e-30, 1.0,
+                              1.0 - ip / jnp.maximum(denom, 1e-30))
+    keyed = -exact if ascending else exact
+    keyed = jnp.where(ok, keyed, NEG_INF_F32)
+    # two-key sort: primary -keyed ascending (best score first), secondary
+    # id ascending (lower id wins exact ties) — same order as the host
+    # rescore's np.lexsort((id, -key))
+    sk, si, sd = jax.lax.sort((-keyed, safe, exact), num_keys=2)
+    kk = min(k, safe.shape[-1])
+    d = jax.lax.slice_in_dim(sd, 0, kk, axis=1)
+    i = jax.lax.slice_in_dim(si, 0, kk, axis=1)
+    kept = jax.lax.slice_in_dim(sk, 0, kk, axis=1) < -NEG_INF_F32
+    fill = -NEG_INF_F32 if ascending else NEG_INF_F32  # decode drops these
+    d = jnp.where(kept, d, fill)
+    return _pack_ids(d, jnp.where(kept, i, 0))
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "c", "ascending"))
+def bf16_gather_exact_pass_packed(
+    q: jnp.ndarray,
+    x16: jnp.ndarray,
+    idx: jnp.ndarray,
+    idx_valid: jnp.ndarray,
+    aux: dict,
+    base_valid: jnp.ndarray,
+    x32: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    c: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    """Gather-then-scan twin of :func:`bf16_exact_pass_packed` for selective
+    filters: proxy-score only the ``idx`` subset rows, shortlist top-C, then
+    exact-rescore with GLOBAL row ids — the fetch is the packed (B, 3k)."""
+    rows16 = jnp.take(x16, idx, axis=0)  # (S_pad, D)
+    sub_aux = {
+        "mean": aux["mean"],
+        "xm": jnp.take(aux["xm"], idx, axis=0),
+        "xc_sq": jnp.take(aux["xc_sq"], idx, axis=0),
+        "xsq_true": jnp.take(aux["xsq_true"], idx, axis=0),
+    }
+    ok_rows = idx_valid & jnp.take(base_valid, idx, axis=0)
+    scores = _bf16_scores(q, rows16, sub_aux, metric)
+    d1, local = masked_top_c(scores, c, ascending, ok_rows)
+    keyed1 = -d1 if ascending else d1
+    ok = keyed1 > NEG_INF_F32
+    safe_local = jnp.where(ok, local, 0).astype(jnp.int32)
+    safe = jnp.take(idx, safe_local, axis=0).astype(jnp.int32)  # global ids
+    return _rescore_sort_pack(q, x32, safe, ok, metric=metric, k=k,
+                              ascending=ascending)
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "c", "ascending"))
+def bf16_exact_pass_packed(
+    q: jnp.ndarray,
+    x16: jnp.ndarray,
+    aux: dict,
+    x32: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    c: int,
+    ascending: bool,
+) -> jnp.ndarray:
+    return _exact_rescore_packed_body(
+        q, x16, aux, x32, valid, metric=metric, k=k, c=c, ascending=ascending)
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "c", "ascending", "window"))
+def bf16_exact_pass_packed_window(
+    qblock: jnp.ndarray,
+    start: jnp.ndarray,
+    x16: jnp.ndarray,
+    aux: dict,
+    x32: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: Metric,
+    k: int,
+    c: int,
+    ascending: bool,
+    window: int,
+) -> jnp.ndarray:
+    """Streaming-window twin of :func:`bf16_exact_pass_packed`: the query
+    stream is uploaded once and sliced on device (one H2D per stream)."""
+    q = jax.lax.dynamic_slice(qblock, (start, 0), (window, qblock.shape[1]))
+    return _exact_rescore_packed_body(
+        q, x16, aux, x32, valid, metric=metric, k=k, c=c, ascending=ascending)
 
 
 def _stream_block_body(
@@ -1091,6 +1247,20 @@ class DeviceCorpus:
 
     # ── search entry points ──────────────────────────────────────────────
 
+    def _device_rescore_ok(self, metric: Metric) -> bool:
+        """True when the exact second pass runs fused on device (fetch only
+        the packed (B, 3k) result): needs the f32 copy resident alongside
+        the bf16 array — 6 B/element within the HBM budget — and the
+        single-chip plane (the mesh plane's shortlist merges host-side).
+        Call after _ensure_staged (uses the staged capacity)."""
+        return (
+            DEVICE_RESCORE
+            and not self.streaming
+            and self.mesh is None
+            and metric in TWO_PASS_METRICS
+            and self.capacity * self.dim * 6 <= HBM_BYTES
+        )
+
     def _shortlist_size(self, k: int, limit: int, oversample: int = 4) -> int:
         c = max(64, oversample * k) if k <= 64 else (
             2 * k if k <= 512 else int(1.25 * k))
@@ -1206,6 +1376,15 @@ class DeviceCorpus:
             c = self._shortlist_size(k, handle.count, oversample)
             self.last_scanned = handle.count + c
             idx, idx_valid = handle.device_indices(self.n, self.epoch, self._rows_sharding(1))
+            if self._device_rescore_ok(metric):
+                out = bf16_gather_exact_pass_packed(
+                    qd, self._dev16, idx, idx_valid, self.bf16_aux(),
+                    self.valid_mask(), self._data,
+                    metric=metric, k=k, c=c, ascending=ascending,
+                )
+                _kick_d2h(out)
+                kk = min(k, c)
+                return lambda: decode_packed(np.asarray(out), kk, metric)
             out = bf16_gather_pass_ids(
                 qd, self._dev16, idx, idx_valid, self.bf16_aux(),
                 self.valid_mask(), metric=metric, k=c, ascending=ascending,
@@ -1225,6 +1404,14 @@ class DeviceCorpus:
         c = self._shortlist_size(k, self.n, oversample)
         self.last_scanned = self.n + c  # full first pass + exact rescore rows
         valid = self.valid_mask(handle)
+        if self._device_rescore_ok(metric):
+            out = bf16_exact_pass_packed(
+                qd, self._dev16, self.bf16_aux(), self._data, valid,
+                metric=metric, k=k, c=c, ascending=ascending,
+            )
+            _kick_d2h(out)
+            kk = min(k, c)
+            return lambda: decode_packed(np.asarray(out), kk, metric)
         out = bf16_pass_ids(
             qd, self._dev16, self.bf16_aux(), valid,
             metric=metric, k=c, ascending=ascending,
@@ -1258,6 +1445,16 @@ class DeviceCorpus:
         self._ensure_staged()
         c = self._shortlist_size(k, self.n, oversample)
         valid = self.valid_mask(handle)
+        if self._device_rescore_ok(metric):
+            out = bf16_exact_pass_packed_window(
+                qblock_dev, jnp.int32(start), self._dev16, self.bf16_aux(),
+                self._data, valid,
+                metric=metric, k=k, c=c, ascending=metric.ascending,
+                window=window,
+            )
+            _kick_d2h(out)
+            kk = min(k, c)
+            return lambda q_rows: decode_packed(np.asarray(out), kk, metric)
         out = bf16_pass_ids_window(
             qblock_dev, jnp.int32(start), self._dev16, self.bf16_aux(), valid,
             metric=metric, k=c, ascending=metric.ascending, window=window,
